@@ -1,0 +1,89 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Internal mutable DOM used during tree construction, converted to the
+  * public immutable tree afterwards (two-layer design mirroring the
+  * reference: internal TreeNode src/internal/tree/types.ts:27-64 vs public
+  * HtmlNode src/public/types.ts).
+  */
+object Ns {
+  final val Html = 0
+  final val Svg = 1
+  final val MathMl = 2
+}
+
+sealed abstract class DomNode {
+  var parent: DomParent = null
+  var startOffset: Int = -1
+  var endOffset: Int = -1
+}
+
+sealed abstract class DomParent extends DomNode {
+  val children: ArrayBuffer[DomNode] = new ArrayBuffer[DomNode](4)
+  def appendChild(n: DomNode): Unit = { n.parent = this; children += n }
+  def insertBefore(n: DomNode, ref: DomNode): Unit = {
+    val idx = children.indexOf(ref)
+    n.parent = this
+    if (idx < 0) children += n else children.insert(idx, n)
+  }
+  def removeChild(n: DomNode): Unit = {
+    val idx = children.indexOf(n)
+    if (idx >= 0) children.remove(idx)
+    n.parent = null
+  }
+}
+
+final class DomDocument extends DomParent {
+  var quirksMode: String = "no-quirks" // no-quirks | quirks | limited-quirks
+}
+
+/** Fragment root for fragment parsing and <template> contents. */
+final class DomFragment extends DomParent
+
+final class DomAttr(
+    var name: String, // internal format: "localName" or "prefix localName"
+    var value: String,
+    var start: Int = -1,
+    var end: Int = -1
+)
+
+final class DomElement(
+    var tagName: String, // lowercase local name
+    var namespace: Int
+) extends DomParent {
+  val attrs: ArrayBuffer[DomAttr] = new ArrayBuffer[DomAttr](4)
+  var templateContent: DomFragment = null
+  // span bookkeeping (UTF-16 code-unit offsets into the original input)
+  var startTagEnd: Int = -1
+
+  def attr(n: String): String = {
+    var i = 0
+    while (i < attrs.length) {
+      if (attrs(i).name == n) return attrs(i).value
+      i += 1
+    }
+    null
+  }
+  def hasAttr(n: String): Boolean = attr(n) != null
+
+  /** The reference's internal name format: namespace-prefixed for foreign
+    * elements (reference: src/internal/tree/build.ts:129-143).
+    */
+  def internalName: String = namespace match {
+    case Ns.Html   => tagName
+    case Ns.Svg    => s"svg $tagName"
+    case Ns.MathMl => s"math $tagName"
+    case _         => tagName
+  }
+}
+
+final class DomText(var value: java.lang.StringBuilder) extends DomNode
+
+final class DomComment(var value: String) extends DomNode
+
+final class DomDoctype(
+    var name: String,
+    var publicId: String,
+    var systemId: String
+) extends DomNode

@@ -1,0 +1,334 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Public parsing façade: parse / parseFragment / parseBytes plus the
+  * document-level conversion from the internal mutable DOM to the public
+  * immutable tree with pre-assigned node ids.
+  *
+  * Mirrors the reference's public layer (reference: src/public/mod.ts:475-765):
+  *  - node ids are assigned by a monotone counter with the document itself
+  *    taking id 1 and each element receiving its id AFTER its children
+  *    (reference convertTreeNode: children first, mod.ts:427-431);
+  *  - the select/option compat patch runs post-parse
+  *    (reference: src/internal/tree/build.ts:307-381);
+  *  - maxNodes/maxDepth budgets THROW at this layer while the tree layer
+  *    only records errors (asymmetry per mod.ts:541-546 / build.ts:117-127).
+  */
+object HtmlParser {
+
+  private final class ErrRec(val code: String, val start: Int, val end: Int, val hasSpan: Boolean)
+
+  private def normalizeParseErrorId(raw: String): String = {
+    val trimmed = raw.trim
+    if (trimmed.isEmpty) "vendor:unknown"
+    else if (trimmed.matches("^[a-z0-9]+(?:-[a-z0-9]+)*$")) trimmed
+    else s"vendor:$trimmed"
+  }
+
+  def parseErrorSpecRef(parseErrorId: String): String =
+    "https://html.spec.whatwg.org/multipage/parsing.html#parse-errors"
+
+  private def enforce(budget: String, limit: Option[Long], actual: Long): Unit =
+    limit.foreach { l =>
+      if (actual > l)
+        throw new BudgetExceededException(BudgetExceededPayload(budget, l, actual))
+    }
+
+  private def enforceInt(budget: String, limit: Option[Int], actual: Long): Unit =
+    enforce(budget, limit.map(_.toLong), actual)
+
+  // ------------------------------------------------------------------
+  /** Parse a complete HTML document. */
+  def parse(html: String, options: ParseOptions = ParseOptions()): DocumentTree = {
+    val startedAt = System.currentTimeMillis()
+    val budgets = options.budgets
+    enforceInt("maxInputBytes", budgets.flatMap(_.maxInputBytes), html.length.toLong)
+
+    val errors = new ArrayBuffer[ErrRec]
+    val builder = new TreeBuilder(
+      html,
+      options.scriptingEnabled,
+      options.captureSpans,
+      (code, s, e) => errors += new ErrRec(code, s, e, true)
+    )
+    val dom = builder.parseDocument()
+    CompatPatch.patchSelectAdoption(dom)
+
+    val (children, _) = convertChildren(dom.children, options.captureSpans, budgets, errors)
+    val metrics = collectMetrics(children)
+    val totalNodes = metrics._1 + 1
+
+    enforceInt("maxNodes", budgets.flatMap(_.maxNodes), totalNodes.toLong)
+    enforceInt("maxDepth", budgets.flatMap(_.maxDepth), metrics._2.toLong)
+    enforce("maxTimeMs", budgets.flatMap(_.maxTimeMs),
+      System.currentTimeMillis() - startedAt)
+
+    DocumentTree(1, children, toParseErrors(errors))
+  }
+
+  /** Parse an HTML fragment in the given context tag name. */
+  def parseFragment(
+      html: String,
+      contextTagName: String,
+      options: ParseOptions = ParseOptions()
+  ): FragmentTree = {
+    val startedAt = System.currentTimeMillis()
+    val budgets = options.budgets
+    val normalizedContext = contextTagName.trim.toLowerCase
+    require(normalizedContext.nonEmpty, "contextTagName must be a non-empty tag name")
+    enforceInt("maxInputBytes", budgets.flatMap(_.maxInputBytes), html.length.toLong)
+
+    val errors = new ArrayBuffer[ErrRec]
+    val builder = new TreeBuilder(
+      html,
+      options.scriptingEnabled,
+      options.captureSpans,
+      (code, s, e) => errors += new ErrRec(code, s, e, true)
+    )
+    val root = builder.parseFragment(normalizedContext)
+    CompatPatch.patchSelectAdoption(builder.document)
+
+    val (children, _) = convertChildren(root.children, options.captureSpans, budgets, errors)
+    val metrics = collectMetrics(children)
+    val totalNodes = metrics._1 + 1
+
+    enforceInt("maxNodes", budgets.flatMap(_.maxNodes), totalNodes.toLong)
+    enforceInt("maxDepth", budgets.flatMap(_.maxDepth), metrics._2.toLong)
+    enforce("maxTimeMs", budgets.flatMap(_.maxTimeMs),
+      System.currentTimeMillis() - startedAt)
+
+    FragmentTree(1, normalizedContext, children, toParseErrors(errors))
+  }
+
+  /** Sniff encoding, decode, parse (reference: src/public/mod.ts:600-634). */
+  def parseBytes(bytes: Array[Byte], options: ParseOptions = ParseOptions()): DocumentTree = {
+    enforceInt("maxInputBytes", options.budgets.flatMap(_.maxInputBytes), bytes.length.toLong)
+    val decoded = EncodingSniff.decodeHtmlBytes(bytes, options.transportEncodingLabel)
+    parse(decoded._1, options)
+  }
+
+  // ------------------------------------------------------------------
+  // conversion: internal DOM -> public immutable tree
+  private final class IdAssigner { private var n = 1; def next(): Int = { n += 1; n } }
+
+  private def convertChildren(
+      nodes: ArrayBuffer[DomNode],
+      captureSpans: Boolean,
+      budgets: Option[Budgets],
+      errors: ArrayBuffer[ErrRec]
+  ): (Vector[HtmlNode], Int) = {
+    val assigner = new IdAssigner
+    val state = new ConvertState(captureSpans, budgets.orNull, errors)
+    val out = Vector.newBuilder[HtmlNode]
+    nodes.foreach { n =>
+      val converted = convertNode(n, 0, assigner, state)
+      if (converted != null) out += converted
+    }
+    (out.result(), state.nodeCount)
+  }
+
+  private final class ConvertState(
+      val captureSpans: Boolean,
+      val budgets: Budgets,
+      val errors: ArrayBuffer[ErrRec]
+  ) {
+    var nodeCount = 0
+    def checkBudgets(depth: Int): Unit = {
+      if (budgets == null) return
+      budgets.maxDepth.foreach { md =>
+        if (depth > md) errors += new ErrRec("max-depth-exceeded", 0, 0, false)
+      }
+      budgets.maxNodes.foreach { mn =>
+        if (nodeCount > mn) errors += new ErrRec("max-nodes-exceeded", 0, 0, false)
+      }
+    }
+  }
+
+  private def spanOf(n: DomNode, captureSpans: Boolean): Option[Span] =
+    if (captureSpans && n.startOffset >= 0 && n.endOffset >= n.startOffset)
+      Some(Span(n.startOffset, n.endOffset))
+    else None
+
+  private def provenanceOf(span: Option[Span], captureSpans: Boolean): String =
+    if (!captureSpans) SpanProvenance.None
+    else if (span.isDefined) SpanProvenance.Input
+    else SpanProvenance.Inferred
+
+  private def convertNode(
+      node: DomNode,
+      depth: Int,
+      assigner: IdAssigner,
+      state: ConvertState
+  ): HtmlNode = node match {
+    case t: DomText =>
+      state.nodeCount += 1
+      state.checkBudgets(depth)
+      val sp = spanOf(t, state.captureSpans)
+      TextNode(assigner.next(), t.value.toString, provenanceOf(sp, state.captureSpans), sp)
+    case c: DomComment =>
+      state.nodeCount += 1
+      state.checkBudgets(depth)
+      val sp = spanOf(c, state.captureSpans)
+      CommentNode(assigner.next(), c.value, provenanceOf(sp, state.captureSpans), sp)
+    case d: DomDoctype =>
+      state.nodeCount += 1
+      state.checkBudgets(depth)
+      val sp = spanOf(d, state.captureSpans)
+      DoctypeNode(
+        assigner.next(),
+        d.name,
+        if (d.publicId.nonEmpty) Some(d.publicId) else None,
+        if (d.systemId.nonEmpty) Some(d.systemId) else None,
+        provenanceOf(sp, state.captureSpans),
+        sp
+      )
+    case el: DomElement =>
+      state.nodeCount += 1
+      state.checkBudgets(depth)
+      // attribute budgets (reference: build.ts:200-235)
+      if (state.budgets != null) {
+        state.budgets.maxAttributesPerElement.foreach { m =>
+          if (el.attrs.length > m)
+            state.errors += new ErrRec("max-attributes-per-element-exceeded", 0, 0, false)
+        }
+        state.budgets.maxAttributeBytes.foreach { m =>
+          var total = 0
+          el.attrs.foreach(a => total += a.name.length + a.value.length)
+          if (total > m)
+            state.errors += new ErrRec("max-attribute-bytes-exceeded", 0, 0, false)
+        }
+      }
+      // children are converted (and receive ids) BEFORE the element itself
+      val kids = Vector.newBuilder[HtmlNode]
+      el.children.foreach { c =>
+        val converted = convertNode(c, depth + 1, assigner, state)
+        if (converted != null) kids += converted
+      }
+      val attrs = el.attrs.iterator.map { a =>
+        val sp =
+          if (state.captureSpans && a.start >= 0 && a.end >= a.start)
+            Some(Span(a.start, a.end))
+          else None
+        Attr(a.name, a.value, sp)
+      }.toVector
+      val elSpan = spanOf(el, state.captureSpans).orElse {
+        if (state.captureSpans && el.startOffset >= 0 && el.startTagEnd >= el.startOffset)
+          Some(Span(el.startOffset, el.startTagEnd))
+        else None
+      }
+      ElementNode(
+        assigner.next(),
+        el.tagName, // public tag name: namespace prefix already absent
+        attrs,
+        kids.result(),
+        provenanceOf(elSpan, state.captureSpans),
+        elSpan
+      )
+    case _ => null
+  }
+
+  /** Node/depth metrics over the public tree (reference: mod.ts:441-473). */
+  private def collectMetrics(children: Vector[HtmlNode]): (Int, Int) = {
+    def walk(n: HtmlNode, depth: Int): (Int, Int) = n match {
+      case e: ElementNode =>
+        var nodes = 1
+        var maxDepth = depth
+        e.children.foreach { c =>
+          val (cn, cd) = walk(c, depth + 1)
+          nodes += cn
+          if (cd > maxDepth) maxDepth = cd
+        }
+        (nodes, maxDepth)
+      case _ => (1, depth)
+    }
+    var totalNodes = 0
+    var maxDepth = 1
+    children.foreach { c =>
+      val (n, d) = walk(c, 2)
+      totalNodes += n
+      if (d > maxDepth) maxDepth = d
+    }
+    (totalNodes, maxDepth)
+  }
+
+  private def toParseErrors(errors: ArrayBuffer[ErrRec]): Vector[ParseError] =
+    errors.iterator.map { e =>
+      val span =
+        if (e.hasSpan && e.start >= 0 && e.end >= e.start) Some(Span(e.start, e.end))
+        else None
+      ParseError("PARSER_ERROR", normalizeParseErrorId(e.code), e.code, span)
+    }.toVector
+}
+
+/** Post-parse select/option compatibility rewrite carried over from the
+  * reference (reference: src/internal/tree/build.ts:307-381): bare
+  * `<select><option>` pairs that are adjacent children of `body` get their
+  * option subtrees wrapped in `<b>` elements, preserving html5lib-fixture
+  * expectations for a newer spec change in the vendored parser.
+  */
+object CompatPatch {
+  def patchSelectAdoption(root: DomParent): Unit = {
+    def walk(node: DomParent): Unit = {
+      node.children.foreach {
+        case p: DomParent => walk(p)
+        case _            =>
+      }
+      node match {
+        case el: DomElement if el.tagName == "body" && el.namespace == Ns.Html =>
+          patchBody(el)
+        case _ =>
+      }
+    }
+    walk(root)
+  }
+
+  private def isBareElement(n: DomNode, tag: String): Boolean = n match {
+    case e: DomElement => e.namespace == Ns.Html && e.tagName == tag
+    case _             => false
+  }
+
+  private def patchBody(body: DomElement): Unit = {
+    var index = 0
+    while (index < body.children.length - 1) {
+      val left = body.children(index)
+      val right = body.children(index + 1)
+      val applicable = isBareElement(left, "select") && isBareElement(right, "option") && {
+        val sel = left.asInstanceOf[DomElement]
+        val opt = right.asInstanceOf[DomElement]
+        sel.attrs.isEmpty && opt.attrs.isEmpty &&
+        sel.children.length == 1 && isBareElement(sel.children(0), "option") &&
+        sel.children(0).asInstanceOf[DomElement].attrs.isEmpty
+      }
+      if (applicable) {
+        val sel = left.asInstanceOf[DomElement]
+        val opt = right.asInstanceOf[DomElement]
+        val selOption = sel.children(0).asInstanceOf[DomElement]
+
+        val leftWrapper = new DomElement("b", sel.namespace)
+        leftWrapper.parent = sel
+        selOption.parent = leftWrapper
+        leftWrapper.children += selOption
+        sel.children.clear()
+        sel.children += leftWrapper
+
+        val detachedText = opt.children.filter(_.isInstanceOf[DomText])
+        val kept = opt.children.filterNot(_.isInstanceOf[DomText])
+        opt.children.clear()
+        opt.children ++= kept
+
+        val rightWrapper = new DomElement("b", opt.namespace)
+        rightWrapper.parent = body
+        opt.parent = rightWrapper
+        rightWrapper.children += opt
+        body.children(index + 1) = rightWrapper
+
+        if (detachedText.nonEmpty) {
+          detachedText.foreach(_.parent = body)
+          body.children.insertAll(index + 2, detachedText)
+        }
+      }
+      index += 1
+    }
+  }
+}

@@ -1,0 +1,1283 @@
+package graft.core
+
+import scala.collection.mutable.StringBuilder
+
+/** WHATWG HTML tokenizer (spec §13.2.5) over a fully-buffered UTF-16 string.
+  *
+  * Re-expresses the behavior of the reference's vendored tokenizer
+  * (reference: src/internal/vendor/parse5/tokenizer/index.js, 73 states) as
+  * an idiomatic Scala state machine written from the published WHATWG
+  * algorithm. Differences from a streaming tokenizer: input is complete, so
+  * character references are resolved inline (no re-entrant charref states)
+  * and CRLF normalization happens at read time while span offsets keep
+  * pointing into the ORIGINAL string (code-unit offsets, reference semantics
+  * per SURVEY.md §7.5).
+  *
+  * The tree builder drives `state`/`lastStartTagName` switches for RCDATA /
+  * RAWTEXT / script data / PLAINTEXT elements, and `sink.cdataAllowed` for
+  * `<![CDATA[` in foreign content.
+  */
+object TokenizerState {
+  final val Data = 0
+  final val Rcdata = 1
+  final val Rawtext = 2
+  final val ScriptData = 3
+  final val Plaintext = 4
+  final val TagOpen = 5
+  final val EndTagOpen = 6
+  final val TagName = 7
+  final val RcdataLessThan = 8
+  final val RcdataEndTagOpen = 9
+  final val RcdataEndTagName = 10
+  final val RawtextLessThan = 11
+  final val RawtextEndTagOpen = 12
+  final val RawtextEndTagName = 13
+  final val ScriptDataLessThan = 14
+  final val ScriptDataEndTagOpen = 15
+  final val ScriptDataEndTagName = 16
+  final val ScriptDataEscapeStart = 17
+  final val ScriptDataEscapeStartDash = 18
+  final val ScriptDataEscaped = 19
+  final val ScriptDataEscapedDash = 20
+  final val ScriptDataEscapedDashDash = 21
+  final val ScriptDataEscapedLessThan = 22
+  final val ScriptDataEscapedEndTagOpen = 23
+  final val ScriptDataEscapedEndTagName = 24
+  final val ScriptDataDoubleEscapeStart = 25
+  final val ScriptDataDoubleEscaped = 26
+  final val ScriptDataDoubleEscapedDash = 27
+  final val ScriptDataDoubleEscapedDashDash = 28
+  final val ScriptDataDoubleEscapedLessThan = 29
+  final val ScriptDataDoubleEscapeEnd = 30
+  final val BeforeAttrName = 31
+  final val AttrName = 32
+  final val AfterAttrName = 33
+  final val BeforeAttrValue = 34
+  final val AttrValueDouble = 35
+  final val AttrValueSingle = 36
+  final val AttrValueUnquoted = 37
+  final val AfterAttrValueQuoted = 38
+  final val SelfClosingStartTag = 39
+  final val BogusComment = 40
+  final val MarkupDeclarationOpen = 41
+  final val CommentStart = 42
+  final val CommentStartDash = 43
+  final val Comment = 44
+  final val CommentLessThan = 45
+  final val CommentLessThanBang = 46
+  final val CommentLessThanBangDash = 47
+  final val CommentLessThanBangDashDash = 48
+  final val CommentEndDash = 49
+  final val CommentEnd = 50
+  final val CommentEndBang = 51
+  final val DoctypeState = 52
+  final val BeforeDoctypeName = 53
+  final val DoctypeName = 54
+  final val AfterDoctypeName = 55
+  final val AfterDoctypePublicKeyword = 56
+  final val BeforeDoctypePublicId = 57
+  final val DoctypePublicIdDouble = 58
+  final val DoctypePublicIdSingle = 59
+  final val AfterDoctypePublicId = 60
+  final val BetweenDoctypePublicAndSystem = 61
+  final val AfterDoctypeSystemKeyword = 62
+  final val BeforeDoctypeSystemId = 63
+  final val DoctypeSystemIdDouble = 64
+  final val DoctypeSystemIdSingle = 65
+  final val AfterDoctypeSystemId = 66
+  final val BogusDoctype = 67
+  final val CdataSection = 68
+  final val CdataSectionBracket = 69
+  final val CdataSectionEnd = 70
+}
+
+final class Tokenizer(input: String, sink: TokenSink) {
+  import TokenizerState._
+
+  private val len = input.length
+  private var pos = 0
+  private var curStart = 0 // offset of the char returned by the last read()
+  private final val EOF = -1
+
+  var state: Int = Data
+  var lastStartTagName: String = ""
+  private var returnToState: Int = Data // for bogus comment origin bookkeeping
+
+  // --- character accumulation (homogeneous runs: ws vs other) ---
+  private val charBuf = new StringBuilder(64)
+  private var charStart = -1
+  private var charEnd = -1
+  private var charIsWs = false
+
+  // --- current tag / comment / doctype work state ---
+  private var tag: TagToken = null
+  private val nameBuf = new StringBuilder(16)
+  private var attrNameBuf = new StringBuilder(16)
+  private var attrValueBuf = new StringBuilder(32)
+  private var attrStart = 0
+  private var attrValueEnd = 0
+  private var attrSkip = false
+  private var attrHasValue = false
+  private val commentBuf = new StringBuilder(32)
+  private var tokenStart = 0 // '<' or '<!--' start offset
+  private var doctype: DoctypeTok = null
+  private val tempBuf = new StringBuilder(16)
+  private var tempBufStart = 0
+
+  private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f'
+
+  private def isAsciiAlpha(c: Int): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def isAsciiAlnum(c: Int): Boolean =
+    isAsciiAlpha(c) || (c >= '0' && c <= '9')
+
+  private def toLower(c: Int): Char =
+    if (c >= 'A' && c <= 'Z') (c + 0x20).toChar else c.toChar
+
+  /** Read the next input character (CRLF/CR normalized to LF), EOF = -1. */
+  private def read(): Int = {
+    if (pos >= len) { curStart = pos; return EOF }
+    curStart = pos
+    val c = input.charAt(pos)
+    pos += 1
+    if (c == '\r') {
+      if (pos < len && input.charAt(pos) == '\n') pos += 1
+      '\n'.toInt
+    } else c.toInt
+  }
+
+  private def reconsume(): Unit = { pos = curStart }
+
+  private def err(code: String): Unit = sink.onParseError(code, curStart, pos)
+
+  // --- char run emission ---
+  private def emitChar(c: Char): Unit = {
+    if (c == '\u0000') {
+      flushChars()
+      sink.onNull(curStart)
+      return
+    }
+    val ws = isWsChar(c)
+    if (charStart < 0) { charStart = curStart; charIsWs = ws }
+    else if (ws != charIsWs) {
+      flushChars()
+      charStart = curStart
+      charIsWs = ws
+    }
+    charBuf.append(c)
+    charEnd = pos
+  }
+
+  /** Append decoded character-reference text (may mix classes). */
+  private def emitDecoded(s: String, srcStart: Int, srcEnd: Int): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ws = isWsChar(c)
+      if (charStart < 0) { charStart = srcStart; charIsWs = ws }
+      else if (ws != charIsWs) {
+        flushChars()
+        charStart = srcStart
+        charIsWs = ws
+      }
+      charBuf.append(c)
+      i += 1
+    }
+    charEnd = srcEnd
+  }
+
+  private def flushChars(): Unit = {
+    if (charBuf.nonEmpty) {
+      val data = charBuf.toString
+      if (charIsWs) sink.onWhitespace(data, charStart, charEnd)
+      else sink.onChars(data, charStart, charEnd)
+      charBuf.clear()
+    }
+    charStart = -1
+    charEnd = -1
+  }
+
+  // --- tag helpers ---
+  private def startTag(isEnd: Boolean): Unit = {
+    tag = new TagToken
+    tag.isEnd = isEnd
+    tag.start = tokenStart
+    nameBuf.clear()
+  }
+
+  private def finishAttrName(): Unit = {
+    val n = attrNameBuf.toString
+    attrSkip = false
+    if (tag.hasAttr(n)) {
+      err("duplicate-attribute")
+      attrSkip = true
+    } else {
+      tag.attrs += new TokAttr(n, "", attrStart, pos - 1)
+    }
+    attrValueBuf.clear()
+    attrHasValue = false
+  }
+
+  private def finishAttrValue(includesQuote: Boolean): Unit = {
+    if (tag.attrs.nonEmpty && !attrSkip) {
+      val a = tag.attrs(tag.attrs.length - 1)
+      a.value = attrValueBuf.toString
+      a.end = if (includesQuote) pos else curStart
+    }
+    attrValueBuf.clear()
+  }
+
+  private def emitTag(): Unit = {
+    tag.name = nameBuf.toString
+    tag.end = pos
+    flushChars()
+    if (tag.isEnd) {
+      if (tag.attrs.nonEmpty) err("end-tag-with-attributes")
+      if (tag.selfClosing) err("end-tag-with-trailing-solidus")
+      sink.onEndTag(tag)
+    } else {
+      lastStartTagName = tag.name
+      sink.onStartTag(tag)
+    }
+    tag = null
+  }
+
+  private def emitComment(): Unit = {
+    flushChars()
+    sink.onComment(commentBuf.toString, tokenStart, pos)
+    commentBuf.clear()
+  }
+
+  private def emitDoctype(): Unit = {
+    doctype.end = pos
+    flushChars()
+    sink.onDoctype(doctype)
+    doctype = null
+  }
+
+  private def emitEof(): Unit = {
+    flushChars()
+    sink.onEof(len)
+  }
+
+  private def isAppropriateEndTag: Boolean =
+    nameBuf.toString == lastStartTagName
+
+  /** `</x` sequences in RCDATA/RAWTEXT/script: emit buffered `</` + name. */
+  private def flushTempAsChars(prefix: String): Unit = {
+    var i = 0
+    while (i < prefix.length) { emitChar(prefix.charAt(i)); i += 1 }
+    i = 0
+    while (i < tempBuf.length) { emitChar(tempBuf.charAt(i)); i += 1 }
+    tempBuf.clear()
+  }
+
+  // --- character references (spec §13.2.5.72-80, resolved inline) ---
+  /** '&' has been consumed (curStart at '&'). Returns decoded text to emit
+    * plus consumes the reference from input, or returns null meaning: emit
+    * '&' literally and consume nothing further.
+    */
+  private def consumeCharRef(inAttribute: Boolean): String = {
+    if (pos >= len) return null
+    val c0 = input.charAt(pos)
+    if (c0 == '#') {
+      var p = pos + 1
+      var hex = false
+      if (p < len && (input.charAt(p) == 'x' || input.charAt(p) == 'X')) {
+        hex = true; p += 1
+      }
+      var value = 0
+      var digits = 0
+      var loop = true
+      while (loop && p < len) {
+        val d = input.charAt(p)
+        val dv =
+          if (d >= '0' && d <= '9') d - '0'
+          else if (hex && d >= 'a' && d <= 'f') d - 'a' + 10
+          else if (hex && d >= 'A' && d <= 'F') d - 'A' + 10
+          else -1
+        if (dv < 0) loop = false
+        else {
+          if (value < 0x110000) value = value * (if (hex) 16 else 10) + dv
+          digits += 1
+          p += 1
+        }
+      }
+      if (digits == 0) {
+        err("absence-of-digits-in-numeric-character-reference")
+        return null
+      }
+      if (p < len && input.charAt(p) == ';') p += 1
+      else err("missing-semicolon-after-character-reference")
+      val cp = Entities.replaceNumeric(value)
+      pos = p
+      val sb = new StringBuilder(2)
+      Entities.appendCodePoint(sb, cp)
+      sb.toString
+    } else if (isAsciiAlnum(c0)) {
+      val m = Entities.matchNamed(input, pos)
+      if (m == null) return null
+      val (nameLen, replacement) = m
+      val endsWithSemi = input.charAt(pos + nameLen - 1) == ';'
+      if (!endsWithSemi && inAttribute) {
+        val next = if (pos + nameLen < len) input.charAt(pos + nameLen) else ' '
+        if (next == '=' || isAsciiAlnum(next)) return null
+      }
+      if (!endsWithSemi) err("missing-semicolon-after-character-reference")
+      pos += nameLen
+      replacement
+    } else null
+  }
+
+  private def dataCharRef(): Unit = {
+    val ampStart = curStart
+    val decoded = consumeCharRef(inAttribute = false)
+    if (decoded == null) emitChar('&')
+    else emitDecoded(decoded, ampStart, pos)
+  }
+
+  private def attrCharRef(): Unit = {
+    val decoded = consumeCharRef(inAttribute = true)
+    if (decoded == null) attrValueBuf.append('&')
+    else attrValueBuf.append(decoded)
+  }
+
+  /** Case-insensitive lookahead match that consumes on success. */
+  private def lookaheadIgnoreCase(word: String): Boolean = {
+    if (pos + word.length > len) return false
+    var i = 0
+    while (i < word.length) {
+      if (toLower(input.charAt(pos + i)) != word.charAt(i)) return false
+      i += 1
+    }
+    pos += word.length
+    true
+  }
+
+  private def lookaheadExact(word: String): Boolean = {
+    if (pos + word.length > len) return false
+    var i = 0
+    while (i < word.length) {
+      if (input.charAt(pos + i) != word.charAt(i)) return false
+      i += 1
+    }
+    pos += word.length
+    true
+  }
+
+  // ------------------------------------------------------------------
+  def run(): Unit = {
+    var running = true
+    while (running) {
+      state match {
+        // ---------------- Data / RCDATA / RAWTEXT / script / plaintext ----
+        case Data =>
+          val c = read()
+          c match {
+            case '&' => dataCharRef()
+            case '<' => tokenStart = curStart; state = TagOpen
+            case 0   => err("unexpected-null-character"); emitChar('\u0000')
+            case EOF => emitEof(); running = false
+            case _   => emitChar(c.toChar)
+          }
+
+        case Rcdata =>
+          val c = read()
+          c match {
+            case '&' => dataCharRef()
+            case '<' => tokenStart = curStart; state = RcdataLessThan
+            case 0   => err("unexpected-null-character"); emitChar('�')
+            case EOF => emitEof(); running = false
+            case _   => emitChar(c.toChar)
+          }
+
+        case Rawtext =>
+          val c = read()
+          c match {
+            case '<' => tokenStart = curStart; state = RawtextLessThan
+            case 0   => err("unexpected-null-character"); emitChar('�')
+            case EOF => emitEof(); running = false
+            case _   => emitChar(c.toChar)
+          }
+
+        case ScriptData =>
+          val c = read()
+          c match {
+            case '<' => tokenStart = curStart; state = ScriptDataLessThan
+            case 0   => err("unexpected-null-character"); emitChar('�')
+            case EOF => emitEof(); running = false
+            case _   => emitChar(c.toChar)
+          }
+
+        case Plaintext =>
+          val c = read()
+          c match {
+            case 0   => err("unexpected-null-character"); emitChar('�')
+            case EOF => emitEof(); running = false
+            case _   => emitChar(c.toChar)
+          }
+
+        // ---------------- tag open ----------------
+        case TagOpen =>
+          val c = read()
+          if (c == '!') state = MarkupDeclarationOpen
+          else if (c == '/') state = EndTagOpen
+          else if (isAsciiAlpha(c)) {
+            startTag(isEnd = false); reconsume(); state = TagName
+          } else if (c == '?') {
+            err("unexpected-question-mark-instead-of-tag-name")
+            commentBuf.clear(); reconsume(); state = BogusComment
+          } else if (c == EOF) {
+            err("eof-before-tag-name")
+            emitChar('<'); emitEof(); running = false
+          } else {
+            err("invalid-first-character-of-tag-name")
+            // emit '<' at its original position, then reprocess in data
+            val save = curStart
+            curStart = tokenStart
+            emitChar('<')
+            curStart = save
+            reconsume(); state = Data
+          }
+
+        case EndTagOpen =>
+          val c = read()
+          if (isAsciiAlpha(c)) {
+            startTag(isEnd = true); reconsume(); state = TagName
+          } else if (c == '>') {
+            err("missing-end-tag-name"); state = Data
+          } else if (c == EOF) {
+            err("eof-before-tag-name")
+            emitChar('<'); emitChar('/'); emitEof(); running = false
+          } else {
+            err("invalid-first-character-of-tag-name")
+            commentBuf.clear(); reconsume(); state = BogusComment
+          }
+
+        case TagName =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => state = BeforeAttrName
+            case '/'                      => state = SelfClosingStartTag
+            case '>'                      => state = Data; emitTag()
+            case 0 =>
+              err("unexpected-null-character"); nameBuf.append('�')
+            case EOF => err("eof-in-tag"); emitEof(); running = false
+            case _   => nameBuf.append(toLower(c))
+          }
+
+        // ---------------- RCDATA/RAWTEXT/script-data end tags ----------------
+        case RcdataLessThan =>
+          val c = read()
+          if (c == '/') { tempBuf.clear(); state = RcdataEndTagOpen }
+          else {
+            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            reconsume(); state = Rcdata
+          }
+
+        case RcdataEndTagOpen =>
+          val c = read()
+          if (isAsciiAlpha(c)) {
+            startTag(isEnd = true); reconsume(); state = RcdataEndTagName
+          } else {
+            val save = curStart; curStart = tokenStart
+            emitChar('<'); emitChar('/'); curStart = save
+            reconsume(); state = Rcdata
+          }
+
+        case RcdataEndTagName =>
+          handleTextEndTagName(Rcdata)
+
+        case RawtextLessThan =>
+          val c = read()
+          if (c == '/') { tempBuf.clear(); state = RawtextEndTagOpen }
+          else {
+            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            reconsume(); state = Rawtext
+          }
+
+        case RawtextEndTagOpen =>
+          val c = read()
+          if (isAsciiAlpha(c)) {
+            startTag(isEnd = true); reconsume(); state = RawtextEndTagName
+          } else {
+            val save = curStart; curStart = tokenStart
+            emitChar('<'); emitChar('/'); curStart = save
+            reconsume(); state = Rawtext
+          }
+
+        case RawtextEndTagName =>
+          handleTextEndTagName(Rawtext)
+
+        case ScriptDataLessThan =>
+          val c = read()
+          if (c == '/') { tempBuf.clear(); state = ScriptDataEndTagOpen }
+          else if (c == '!') {
+            state = ScriptDataEscapeStart
+            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            emitChar('!')
+          } else {
+            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            reconsume(); state = ScriptData
+          }
+
+        case ScriptDataEndTagOpen =>
+          val c = read()
+          if (isAsciiAlpha(c)) {
+            startTag(isEnd = true); reconsume(); state = ScriptDataEndTagName
+          } else {
+            val save = curStart; curStart = tokenStart
+            emitChar('<'); emitChar('/'); curStart = save
+            reconsume(); state = ScriptData
+          }
+
+        case ScriptDataEndTagName =>
+          handleTextEndTagName(ScriptData)
+
+        case ScriptDataEscapeStart =>
+          val c = read()
+          if (c == '-') { emitChar('-'); state = ScriptDataEscapeStartDash }
+          else { reconsume(); state = ScriptData }
+
+        case ScriptDataEscapeStartDash =>
+          val c = read()
+          if (c == '-') { emitChar('-'); state = ScriptDataEscapedDashDash }
+          else { reconsume(); state = ScriptData }
+
+        case ScriptDataEscaped =>
+          val c = read()
+          c match {
+            case '-' => emitChar('-'); state = ScriptDataEscapedDash
+            case '<' => tokenStart = curStart; state = ScriptDataEscapedLessThan
+            case 0   => err("unexpected-null-character"); emitChar('�')
+            case EOF =>
+              err("eof-in-script-html-comment-like-text"); emitEof(); running = false
+            case _ => emitChar(c.toChar)
+          }
+
+        case ScriptDataEscapedDash =>
+          val c = read()
+          c match {
+            case '-' => emitChar('-'); state = ScriptDataEscapedDashDash
+            case '<' => tokenStart = curStart; state = ScriptDataEscapedLessThan
+            case 0 =>
+              err("unexpected-null-character"); emitChar('�')
+              state = ScriptDataEscaped
+            case EOF =>
+              err("eof-in-script-html-comment-like-text"); emitEof(); running = false
+            case _ => emitChar(c.toChar); state = ScriptDataEscaped
+          }
+
+        case ScriptDataEscapedDashDash =>
+          val c = read()
+          c match {
+            case '-' => emitChar('-')
+            case '<' => tokenStart = curStart; state = ScriptDataEscapedLessThan
+            case '>' => emitChar('>'); state = ScriptData
+            case 0 =>
+              err("unexpected-null-character"); emitChar('�')
+              state = ScriptDataEscaped
+            case EOF =>
+              err("eof-in-script-html-comment-like-text"); emitEof(); running = false
+            case _ => emitChar(c.toChar); state = ScriptDataEscaped
+          }
+
+        case ScriptDataEscapedLessThan =>
+          val c = read()
+          if (c == '/') { tempBuf.clear(); state = ScriptDataEscapedEndTagOpen }
+          else if (isAsciiAlpha(c)) {
+            tempBuf.clear()
+            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            reconsume(); state = ScriptDataDoubleEscapeStart
+          } else {
+            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            reconsume(); state = ScriptDataEscaped
+          }
+
+        case ScriptDataEscapedEndTagOpen =>
+          val c = read()
+          if (isAsciiAlpha(c)) {
+            startTag(isEnd = true); reconsume(); state = ScriptDataEscapedEndTagName
+          } else {
+            val save = curStart; curStart = tokenStart
+            emitChar('<'); emitChar('/'); curStart = save
+            reconsume(); state = ScriptDataEscaped
+          }
+
+        case ScriptDataEscapedEndTagName =>
+          handleTextEndTagName(ScriptDataEscaped)
+
+        case ScriptDataDoubleEscapeStart =>
+          val c = read()
+          if (c == '\t' || c == '\n' || c == '\f' || c == ' ' || c == '/' || c == '>') {
+            state =
+              if (tempBuf.toString == "script") ScriptDataDoubleEscaped
+              else ScriptDataEscaped
+            emitChar(c.toChar)
+          } else if (isAsciiAlpha(c)) {
+            tempBuf.append(toLower(c)); emitChar(c.toChar)
+          } else { reconsume(); state = ScriptDataEscaped }
+
+        case ScriptDataDoubleEscaped =>
+          val c = read()
+          c match {
+            case '-' => emitChar('-'); state = ScriptDataDoubleEscapedDash
+            case '<' =>
+              emitChar('<'); state = ScriptDataDoubleEscapedLessThan
+            case 0 => err("unexpected-null-character"); emitChar('�')
+            case EOF =>
+              err("eof-in-script-html-comment-like-text"); emitEof(); running = false
+            case _ => emitChar(c.toChar)
+          }
+
+        case ScriptDataDoubleEscapedDash =>
+          val c = read()
+          c match {
+            case '-' => emitChar('-'); state = ScriptDataDoubleEscapedDashDash
+            case '<' =>
+              emitChar('<'); state = ScriptDataDoubleEscapedLessThan
+            case 0 =>
+              err("unexpected-null-character"); emitChar('�')
+              state = ScriptDataDoubleEscaped
+            case EOF =>
+              err("eof-in-script-html-comment-like-text"); emitEof(); running = false
+            case _ => emitChar(c.toChar); state = ScriptDataDoubleEscaped
+          }
+
+        case ScriptDataDoubleEscapedDashDash =>
+          val c = read()
+          c match {
+            case '-' => emitChar('-')
+            case '<' =>
+              emitChar('<'); state = ScriptDataDoubleEscapedLessThan
+            case '>' => emitChar('>'); state = ScriptData
+            case 0 =>
+              err("unexpected-null-character"); emitChar('�')
+              state = ScriptDataDoubleEscaped
+            case EOF =>
+              err("eof-in-script-html-comment-like-text"); emitEof(); running = false
+            case _ => emitChar(c.toChar); state = ScriptDataDoubleEscaped
+          }
+
+        case ScriptDataDoubleEscapedLessThan =>
+          val c = read()
+          if (c == '/') {
+            tempBuf.clear(); emitChar('/'); state = ScriptDataDoubleEscapeEnd
+          } else { reconsume(); state = ScriptDataDoubleEscaped }
+
+        case ScriptDataDoubleEscapeEnd =>
+          val c = read()
+          if (c == '\t' || c == '\n' || c == '\f' || c == ' ' || c == '/' || c == '>') {
+            state =
+              if (tempBuf.toString == "script") ScriptDataEscaped
+              else ScriptDataDoubleEscaped
+            emitChar(c.toChar)
+          } else if (isAsciiAlpha(c)) {
+            tempBuf.append(toLower(c)); emitChar(c.toChar)
+          } else { reconsume(); state = ScriptDataDoubleEscaped }
+
+        // ---------------- attributes ----------------
+        case BeforeAttrName =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => // skip
+            case '/' | '>' | EOF          => reconsume(); state = AfterAttrName
+            case '=' =>
+              err("unexpected-equals-sign-before-attribute-name")
+              attrNameBuf = new StringBuilder(16)
+              attrNameBuf.append('=')
+              attrStart = curStart
+              state = AttrName
+            case _ =>
+              attrNameBuf = new StringBuilder(16)
+              attrStart = curStart
+              reconsume(); state = AttrName
+          }
+
+        case AttrName =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' | '/' | '>' | EOF =>
+              finishAttrName(); reconsume(); state = AfterAttrName
+            case '=' => finishAttrName(); state = BeforeAttrValue
+            case 0 =>
+              err("unexpected-null-character"); attrNameBuf.append('�')
+            case '"' | '\'' | '<' =>
+              err("unexpected-character-in-attribute-name")
+              attrNameBuf.append(c.toChar)
+            case _ => attrNameBuf.append(toLower(c))
+          }
+
+        case AfterAttrName =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => // skip
+            case '/'                      => state = SelfClosingStartTag
+            case '='                      => state = BeforeAttrValue
+            case '>'                      => state = Data; emitTag()
+            case EOF => err("eof-in-tag"); emitEof(); running = false
+            case _ =>
+              attrNameBuf = new StringBuilder(16)
+              attrStart = curStart
+              reconsume(); state = AttrName
+          }
+
+        case BeforeAttrValue =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => // skip
+            case '"'                      => state = AttrValueDouble
+            case '\''                     => state = AttrValueSingle
+            case '>' =>
+              err("missing-attribute-value")
+              finishAttrValue(includesQuote = false)
+              state = Data; emitTag()
+            case _ => reconsume(); state = AttrValueUnquoted
+          }
+
+        case AttrValueDouble =>
+          val c = read()
+          c match {
+            case '"' => finishAttrValue(includesQuote = true); state = AfterAttrValueQuoted
+            case '&' => attrCharRef()
+            case 0 =>
+              err("unexpected-null-character"); attrValueBuf.append('�')
+            case EOF => err("eof-in-tag"); emitEof(); running = false
+            case _   => attrValueBuf.append(c.toChar)
+          }
+
+        case AttrValueSingle =>
+          val c = read()
+          c match {
+            case '\'' => finishAttrValue(includesQuote = true); state = AfterAttrValueQuoted
+            case '&'  => attrCharRef()
+            case 0 =>
+              err("unexpected-null-character"); attrValueBuf.append('�')
+            case EOF => err("eof-in-tag"); emitEof(); running = false
+            case _   => attrValueBuf.append(c.toChar)
+          }
+
+        case AttrValueUnquoted =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' =>
+              finishAttrValue(includesQuote = false); state = BeforeAttrName
+            case '&' => attrCharRef()
+            case '>' =>
+              finishAttrValue(includesQuote = false); state = Data; emitTag()
+            case 0 =>
+              err("unexpected-null-character"); attrValueBuf.append('�')
+            case '"' | '\'' | '<' | '=' | '`' =>
+              err("unexpected-character-in-unquoted-attribute-value")
+              attrValueBuf.append(c.toChar)
+            case EOF => err("eof-in-tag"); emitEof(); running = false
+            case _   => attrValueBuf.append(c.toChar)
+          }
+
+        case AfterAttrValueQuoted =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => state = BeforeAttrName
+            case '/'                      => state = SelfClosingStartTag
+            case '>'                      => state = Data; emitTag()
+            case EOF => err("eof-in-tag"); emitEof(); running = false
+            case _ =>
+              err("missing-whitespace-between-attributes")
+              reconsume(); state = BeforeAttrName
+          }
+
+        case SelfClosingStartTag =>
+          val c = read()
+          c match {
+            case '>' =>
+              tag.selfClosing = true; state = Data; emitTag()
+            case EOF => err("eof-in-tag"); emitEof(); running = false
+            case _ =>
+              err("unexpected-solidus-in-tag")
+              reconsume(); state = BeforeAttrName
+          }
+
+        // ---------------- comments & markup declaration ----------------
+        case BogusComment =>
+          val c = read()
+          c match {
+            case '>' => state = Data; emitComment()
+            case EOF => emitComment(); emitEof(); running = false
+            case 0 =>
+              err("unexpected-null-character"); commentBuf.append('�')
+            case _ => commentBuf.append(c.toChar)
+          }
+
+        case MarkupDeclarationOpen =>
+          if (lookaheadExact("--")) {
+            commentBuf.clear(); state = CommentStart
+          } else if (lookaheadIgnoreCase("doctype")) {
+            state = DoctypeState
+          } else if (lookaheadExact("[CDATA[")) {
+            if (sink.cdataAllowed) state = CdataSection
+            else {
+              err("cdata-in-html-content")
+              commentBuf.clear(); commentBuf.append("[CDATA[")
+              state = BogusComment
+            }
+          } else {
+            err("incorrectly-opened-comment")
+            commentBuf.clear(); state = BogusComment
+          }
+
+        case CommentStart =>
+          val c = read()
+          c match {
+            case '-' => state = CommentStartDash
+            case '>' =>
+              err("abrupt-closing-of-empty-comment"); state = Data; emitComment()
+            case _ => reconsume(); state = Comment
+          }
+
+        case CommentStartDash =>
+          val c = read()
+          c match {
+            case '-' => state = CommentEnd
+            case '>' =>
+              err("abrupt-closing-of-empty-comment"); state = Data; emitComment()
+            case EOF =>
+              err("eof-in-comment"); emitComment(); emitEof(); running = false
+            case _ => commentBuf.append('-'); reconsume(); state = Comment
+          }
+
+        case Comment =>
+          val c = read()
+          c match {
+            case '<' => commentBuf.append('<'); state = CommentLessThan
+            case '-' => state = CommentEndDash
+            case 0 =>
+              err("unexpected-null-character"); commentBuf.append('�')
+            case EOF =>
+              err("eof-in-comment"); emitComment(); emitEof(); running = false
+            case _ => commentBuf.append(c.toChar)
+          }
+
+        case CommentLessThan =>
+          val c = read()
+          c match {
+            case '!' => commentBuf.append('!'); state = CommentLessThanBang
+            case '<' => commentBuf.append('<')
+            case _   => reconsume(); state = Comment
+          }
+
+        case CommentLessThanBang =>
+          val c = read()
+          if (c == '-') state = CommentLessThanBangDash
+          else { reconsume(); state = Comment }
+
+        case CommentLessThanBangDash =>
+          val c = read()
+          if (c == '-') state = CommentLessThanBangDashDash
+          else { reconsume(); state = CommentEndDash }
+
+        case CommentLessThanBangDashDash =>
+          val c = read()
+          if (c == '>' || c == EOF) { reconsume(); state = CommentEnd }
+          else {
+            err("nested-comment")
+            reconsume(); state = CommentEnd
+          }
+
+        case CommentEndDash =>
+          val c = read()
+          c match {
+            case '-' => state = CommentEnd
+            case EOF =>
+              err("eof-in-comment"); emitComment(); emitEof(); running = false
+            case _ => commentBuf.append('-'); reconsume(); state = Comment
+          }
+
+        case CommentEnd =>
+          val c = read()
+          c match {
+            case '>' => state = Data; emitComment()
+            case '!' => state = CommentEndBang
+            case '-' => commentBuf.append('-')
+            case EOF =>
+              err("eof-in-comment"); emitComment(); emitEof(); running = false
+            case _ =>
+              commentBuf.append("--"); reconsume(); state = Comment
+          }
+
+        case CommentEndBang =>
+          val c = read()
+          c match {
+            case '-' =>
+              commentBuf.append("--!"); state = CommentEndDash
+            case '>' =>
+              err("incorrectly-closed-comment"); state = Data; emitComment()
+            case EOF =>
+              err("eof-in-comment"); emitComment(); emitEof(); running = false
+            case _ =>
+              commentBuf.append("--!"); reconsume(); state = Comment
+          }
+
+        // ---------------- DOCTYPE ----------------
+        case DoctypeState =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => state = BeforeDoctypeName
+            case '>'                      => reconsume(); state = BeforeDoctypeName
+            case EOF =>
+              err("eof-in-doctype")
+              doctype = new DoctypeTok; doctype.start = tokenStart
+              doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ =>
+              err("missing-whitespace-before-doctype-name")
+              reconsume(); state = BeforeDoctypeName
+          }
+
+        case BeforeDoctypeName =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => // skip
+            case 0 =>
+              err("unexpected-null-character")
+              doctype = new DoctypeTok; doctype.start = tokenStart
+              nameBuf.clear(); nameBuf.append('�')
+              state = DoctypeName
+            case '>' =>
+              err("missing-doctype-name")
+              doctype = new DoctypeTok; doctype.start = tokenStart
+              doctype.forceQuirks = true
+              state = Data; emitDoctype()
+            case EOF =>
+              err("eof-in-doctype")
+              doctype = new DoctypeTok; doctype.start = tokenStart
+              doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ =>
+              doctype = new DoctypeTok; doctype.start = tokenStart
+              nameBuf.clear(); nameBuf.append(toLower(c))
+              state = DoctypeName
+          }
+
+        case DoctypeName =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' =>
+              doctype.name = nameBuf.toString; state = AfterDoctypeName
+            case '>' =>
+              doctype.name = nameBuf.toString; state = Data; emitDoctype()
+            case 0 =>
+              err("unexpected-null-character"); nameBuf.append('�')
+            case EOF =>
+              err("eof-in-doctype")
+              doctype.name = nameBuf.toString; doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ => nameBuf.append(toLower(c))
+          }
+
+        case AfterDoctypeName =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => // skip
+            case '>'                      => state = Data; emitDoctype()
+            case EOF =>
+              err("eof-in-doctype"); doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ =>
+              reconsume()
+              if (lookaheadIgnoreCase("public")) state = AfterDoctypePublicKeyword
+              else if (lookaheadIgnoreCase("system")) state = AfterDoctypeSystemKeyword
+              else {
+                err("invalid-character-sequence-after-doctype-name")
+                doctype.forceQuirks = true
+                read(); reconsume(); state = BogusDoctype
+              }
+          }
+
+        case AfterDoctypePublicKeyword =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => state = BeforeDoctypePublicId
+            case '"' =>
+              err("missing-whitespace-after-doctype-public-keyword")
+              doctype.publicId = ""; nameBuf.clear(); state = DoctypePublicIdDouble
+            case '\'' =>
+              err("missing-whitespace-after-doctype-public-keyword")
+              doctype.publicId = ""; nameBuf.clear(); state = DoctypePublicIdSingle
+            case '>' =>
+              err("missing-doctype-public-identifier")
+              doctype.forceQuirks = true; state = Data; emitDoctype()
+            case EOF =>
+              err("eof-in-doctype"); doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ =>
+              err("missing-quote-before-doctype-public-identifier")
+              doctype.forceQuirks = true; reconsume(); state = BogusDoctype
+          }
+
+        case BeforeDoctypePublicId =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => // skip
+            case '"' =>
+              doctype.publicId = ""; nameBuf.clear(); state = DoctypePublicIdDouble
+            case '\'' =>
+              doctype.publicId = ""; nameBuf.clear(); state = DoctypePublicIdSingle
+            case '>' =>
+              err("missing-doctype-public-identifier")
+              doctype.forceQuirks = true; state = Data; emitDoctype()
+            case EOF =>
+              err("eof-in-doctype"); doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ =>
+              err("missing-quote-before-doctype-public-identifier")
+              doctype.forceQuirks = true; reconsume(); state = BogusDoctype
+          }
+
+        case DoctypePublicIdDouble =>
+          val c = read()
+          c match {
+            case '"' =>
+              doctype.publicId = nameBuf.toString; state = AfterDoctypePublicId
+            case 0 =>
+              err("unexpected-null-character"); nameBuf.append('�')
+            case '>' =>
+              err("abrupt-doctype-public-identifier")
+              doctype.publicId = nameBuf.toString
+              doctype.forceQuirks = true; state = Data; emitDoctype()
+            case EOF =>
+              err("eof-in-doctype")
+              doctype.publicId = nameBuf.toString; doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ => nameBuf.append(c.toChar)
+          }
+
+        case DoctypePublicIdSingle =>
+          val c = read()
+          c match {
+            case '\'' =>
+              doctype.publicId = nameBuf.toString; state = AfterDoctypePublicId
+            case 0 =>
+              err("unexpected-null-character"); nameBuf.append('�')
+            case '>' =>
+              err("abrupt-doctype-public-identifier")
+              doctype.publicId = nameBuf.toString
+              doctype.forceQuirks = true; state = Data; emitDoctype()
+            case EOF =>
+              err("eof-in-doctype")
+              doctype.publicId = nameBuf.toString; doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ => nameBuf.append(c.toChar)
+          }
+
+        case AfterDoctypePublicId =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => state = BetweenDoctypePublicAndSystem
+            case '>'                      => state = Data; emitDoctype()
+            case '"' =>
+              err("missing-whitespace-between-doctype-public-and-system-identifiers")
+              doctype.systemId = ""; nameBuf.clear(); state = DoctypeSystemIdDouble
+            case '\'' =>
+              err("missing-whitespace-between-doctype-public-and-system-identifiers")
+              doctype.systemId = ""; nameBuf.clear(); state = DoctypeSystemIdSingle
+            case EOF =>
+              err("eof-in-doctype"); doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ =>
+              err("missing-quote-before-doctype-system-identifier")
+              doctype.forceQuirks = true; reconsume(); state = BogusDoctype
+          }
+
+        case BetweenDoctypePublicAndSystem =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => // skip
+            case '>'                      => state = Data; emitDoctype()
+            case '"' =>
+              doctype.systemId = ""; nameBuf.clear(); state = DoctypeSystemIdDouble
+            case '\'' =>
+              doctype.systemId = ""; nameBuf.clear(); state = DoctypeSystemIdSingle
+            case EOF =>
+              err("eof-in-doctype"); doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ =>
+              err("missing-quote-before-doctype-system-identifier")
+              doctype.forceQuirks = true; reconsume(); state = BogusDoctype
+          }
+
+        case AfterDoctypeSystemKeyword =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => state = BeforeDoctypeSystemId
+            case '"' =>
+              err("missing-whitespace-after-doctype-system-keyword")
+              doctype.systemId = ""; nameBuf.clear(); state = DoctypeSystemIdDouble
+            case '\'' =>
+              err("missing-whitespace-after-doctype-system-keyword")
+              doctype.systemId = ""; nameBuf.clear(); state = DoctypeSystemIdSingle
+            case '>' =>
+              err("missing-doctype-system-identifier")
+              doctype.forceQuirks = true; state = Data; emitDoctype()
+            case EOF =>
+              err("eof-in-doctype"); doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ =>
+              err("missing-quote-before-doctype-system-identifier")
+              doctype.forceQuirks = true; reconsume(); state = BogusDoctype
+          }
+
+        case BeforeDoctypeSystemId =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => // skip
+            case '"' =>
+              doctype.systemId = ""; nameBuf.clear(); state = DoctypeSystemIdDouble
+            case '\'' =>
+              doctype.systemId = ""; nameBuf.clear(); state = DoctypeSystemIdSingle
+            case '>' =>
+              err("missing-doctype-system-identifier")
+              doctype.forceQuirks = true; state = Data; emitDoctype()
+            case EOF =>
+              err("eof-in-doctype"); doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ =>
+              err("missing-quote-before-doctype-system-identifier")
+              doctype.forceQuirks = true; reconsume(); state = BogusDoctype
+          }
+
+        case DoctypeSystemIdDouble =>
+          val c = read()
+          c match {
+            case '"' =>
+              doctype.systemId = nameBuf.toString; state = AfterDoctypeSystemId
+            case 0 =>
+              err("unexpected-null-character"); nameBuf.append('�')
+            case '>' =>
+              err("abrupt-doctype-system-identifier")
+              doctype.systemId = nameBuf.toString
+              doctype.forceQuirks = true; state = Data; emitDoctype()
+            case EOF =>
+              err("eof-in-doctype")
+              doctype.systemId = nameBuf.toString; doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ => nameBuf.append(c.toChar)
+          }
+
+        case DoctypeSystemIdSingle =>
+          val c = read()
+          c match {
+            case '\'' =>
+              doctype.systemId = nameBuf.toString; state = AfterDoctypeSystemId
+            case 0 =>
+              err("unexpected-null-character"); nameBuf.append('�')
+            case '>' =>
+              err("abrupt-doctype-system-identifier")
+              doctype.systemId = nameBuf.toString
+              doctype.forceQuirks = true; state = Data; emitDoctype()
+            case EOF =>
+              err("eof-in-doctype")
+              doctype.systemId = nameBuf.toString; doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ => nameBuf.append(c.toChar)
+          }
+
+        case AfterDoctypeSystemId =>
+          val c = read()
+          c match {
+            case '\t' | '\n' | '\f' | ' ' => // skip
+            case '>'                      => state = Data; emitDoctype()
+            case EOF =>
+              err("eof-in-doctype"); doctype.forceQuirks = true
+              emitDoctype(); emitEof(); running = false
+            case _ =>
+              err("unexpected-character-after-doctype-system-identifier")
+              reconsume(); state = BogusDoctype
+          }
+
+        case BogusDoctype =>
+          val c = read()
+          c match {
+            case '>' => state = Data; emitDoctype()
+            case 0   => err("unexpected-null-character")
+            case EOF => emitDoctype(); emitEof(); running = false
+            case _   => // skip
+          }
+
+        // ---------------- CDATA ----------------
+        case CdataSection =>
+          val c = read()
+          c match {
+            case ']' => state = CdataSectionBracket
+            case EOF =>
+              err("eof-in-cdata"); emitEof(); running = false
+            case _ => emitChar(c.toChar)
+          }
+
+        case CdataSectionBracket =>
+          val c = read()
+          if (c == ']') state = CdataSectionEnd
+          else {
+            emitCharAt(']', curStart)
+            reconsume(); state = CdataSection
+          }
+
+        case CdataSectionEnd =>
+          val c = read()
+          if (c == '>') state = Data
+          else if (c == ']') emitCharAt(']', curStart)
+          else {
+            emitCharAt(']', curStart); emitCharAt(']', curStart)
+            reconsume(); state = CdataSection
+          }
+
+        case other =>
+          throw new IllegalStateException(s"unhandled tokenizer state $other")
+      }
+    }
+  }
+
+  private def emitCharAt(c: Char, at: Int): Unit = {
+    val save = curStart
+    curStart = at
+    emitChar(c)
+    curStart = save
+  }
+
+  /** Shared RCDATA/RAWTEXT/script-data "end tag name" state logic: only the
+    * appropriate end tag is honored; otherwise the buffered `</name` text is
+    * re-emitted as characters (spec §13.2.5.11/14/17).
+    */
+  private def handleTextEndTagName(textState: Int): Unit = {
+    val c = read()
+    c match {
+      case '\t' | '\n' | '\f' | ' ' if isAppropriateEndTag =>
+        tag.name = nameBuf.toString
+        state = BeforeAttrName
+      case '/' if isAppropriateEndTag =>
+        tag.name = nameBuf.toString
+        state = SelfClosingStartTag
+      case '>' if isAppropriateEndTag =>
+        tag.name = nameBuf.toString
+        state = Data
+        emitTag()
+      case _ if isAsciiAlpha(c) =>
+        nameBuf.append(toLower(c))
+        tempBuf.append(c.toChar)
+      case _ =>
+        // Not the appropriate end tag: emit `</` + buffered name as chars.
+        tag = null
+        val save = curStart
+        curStart = tokenStart
+        emitChar('<'); emitChar('/')
+        curStart = save
+        var i = 0
+        while (i < tempBuf.length) { emitChar(tempBuf.charAt(i)); i += 1 }
+        tempBuf.clear()
+        nameBuf.clear()
+        reconsume()
+        state = textState
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Mutable tokenizer work objects, reused per token. */
+final class TokAttr(
+    var name: String,
+    var value: String,
+    var start: Int, // offset of attr name start in original input
+    var end: Int // offset just past attr value (incl. closing quote)
+)
+
+final class TagToken {
+  var name: String = ""
+  var isEnd: Boolean = false
+  var selfClosing: Boolean = false
+  var ackSelfClosing: Boolean = false
+  val attrs: ArrayBuffer[TokAttr] = new ArrayBuffer[TokAttr](4)
+  var start: Int = 0
+  var end: Int = 0
+
+  def attr(n: String): String = {
+    var i = 0
+    while (i < attrs.length) {
+      if (attrs(i).name == n) return attrs(i).value
+      i += 1
+    }
+    null
+  }
+  def hasAttr(n: String): Boolean = attr(n) != null
+}
+
+final class DoctypeTok {
+  var name: String = null
+  var publicId: String = null
+  var systemId: String = null
+  var forceQuirks: Boolean = false
+  var start: Int = 0
+  var end: Int = 0
+}
+
+/** Receives the token stream. The tree builder implements this; a trivial
+  * collecting sink backs the standalone `tokenize` API.
+  */
+trait TokenSink {
+  /** Non-whitespace, non-NUL character run. */
+  def onChars(data: String, start: Int, end: Int): Unit
+  /** ASCII-whitespace-only character run. */
+  def onWhitespace(data: String, start: Int, end: Int): Unit
+  /** A single U+0000 character. */
+  def onNull(start: Int): Unit
+  def onStartTag(tag: TagToken): Unit
+  def onEndTag(tag: TagToken): Unit
+  def onComment(data: String, start: Int, end: Int): Unit
+  def onDoctype(d: DoctypeTok): Unit
+  def onEof(pos: Int): Unit
+  def onParseError(code: String, start: Int, end: Int): Unit
+  /** Queried when `<![CDATA[` is seen: true when the adjusted current node
+    * is in a non-HTML namespace (tree-builder-driven, spec 13.2.5.42).
+    */
+  def cdataAllowed: Boolean = false
+}

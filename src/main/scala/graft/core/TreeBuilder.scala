@@ -1,0 +1,2145 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** WHATWG HTML tree construction (spec §13.2.6): the 23 insertion modes,
+  * open-element stack, active-formatting-elements list (Noah's Ark cap 3),
+  * adoption agency, foster parenting, foreign content, quirks detection.
+  *
+  * Behavior-compatible with the reference's vendored parser (reference:
+  * src/internal/vendor/parse5/parser/index.js) but written from the
+  * published spec as an idiomatic Scala implementation. Consumes the token
+  * stream produced by [[Tokenizer]] (homogeneous character runs), mutating
+  * an internal DOM that the public layer converts to immutable trees.
+  */
+object InsertionMode {
+  final val Initial = 0
+  final val BeforeHtml = 1
+  final val BeforeHead = 2
+  final val InHead = 3
+  final val InHeadNoscript = 4
+  final val AfterHead = 5
+  final val InBody = 6
+  final val Text = 7
+  final val InTable = 8
+  final val InTableText = 9
+  final val InCaption = 10
+  final val InColumnGroup = 11
+  final val InTableBody = 12
+  final val InRow = 13
+  final val InCell = 14
+  final val InSelect = 15
+  final val InSelectInTable = 16
+  final val InTemplate = 17
+  final val AfterBody = 18
+  final val InFrameset = 19
+  final val AfterFrameset = 20
+  final val AfterAfterBody = 21
+  final val AfterAfterFrameset = 22
+}
+
+final class AfeEntry(
+    var element: DomElement, // null for markers
+    val name: String,
+    val ns: Int,
+    val attrsSnapshot: Vector[(String, String)]
+) {
+  def isMarker: Boolean = element == null && name == null
+}
+
+final class TreeBuilder(
+    input: String,
+    scriptingEnabled: Boolean,
+    captureSpans: Boolean,
+    onError: (String, Int, Int) => Unit
+) extends TokenSink {
+  import InsertionMode._
+
+  val document = new DomDocument
+  var tokenizer: Tokenizer = null
+
+  // fragment parsing support
+  private var fragmentContext: DomElement = null
+  private var fragmentRoot: DomElement = null
+
+  private var mode: Int = Initial
+  private var originalMode: Int = Initial
+  private val templateModes = new ArrayBuffer[Int]
+  private val stack = new ArrayBuffer[DomElement](16)
+  private val afe = new ArrayBuffer[AfeEntry](8)
+  private var headElement: DomElement = null
+  private var formElement: DomElement = null
+  private var framesetOk = true
+  private var ignoreNextLf = false
+  private var stopped = false
+
+  // pending character runs for "in table text": (data, isWs, start, end)
+  private val pendingTableChars = new ArrayBuffer[(String, Boolean, Int, Int)]
+  private var fosterParenting = false
+
+  // current-token info for span end-location bookkeeping
+  private var curTokStart = -1
+  private var curTokEnd = -1
+  private var curTokEndTagName: String = null
+
+  private def err(code: String, start: Int, end: Int): Unit =
+    onError(code, start, end)
+
+  // ------------------------------------------------------------------
+  // stack helpers
+  private def current: DomElement = stack(stack.length - 1)
+
+  private def push(el: DomElement): Unit = stack += el
+
+  private def pop(): DomElement = {
+    val el = stack.remove(stack.length - 1)
+    setEndLocation(el)
+    el
+  }
+
+  private def setEndLocation(el: DomElement): Unit = {
+    if (!captureSpans || el.startOffset < 0) return
+    if (el.endOffset >= 0) return
+    if (curTokEndTagName != null && curTokEndTagName == el.tagName && el.namespace == Ns.Html)
+      el.endOffset = curTokEnd
+    else if (curTokStart >= 0) el.endOffset = curTokStart
+  }
+
+  private def popUntilPopped(name: String): Unit = {
+    var done = false
+    while (!done && stack.nonEmpty) {
+      val el = pop()
+      if (el.namespace == Ns.Html && el.tagName == name) done = true
+    }
+  }
+
+  private def popUntilOneOfPopped(names: Set[String]): Unit = {
+    var done = false
+    while (!done && stack.nonEmpty) {
+      val el = pop()
+      if (el.namespace == Ns.Html && names.contains(el.tagName)) done = true
+    }
+  }
+
+  private def popUntilElementPopped(target: DomElement): Unit = {
+    var done = false
+    while (!done && stack.nonEmpty) {
+      val el = pop()
+      if (el eq target) done = true
+    }
+  }
+
+  private def removeFromStack(el: DomElement): Unit = {
+    val idx = stack.indexWhere(_ eq el)
+    if (idx >= 0) { stack.remove(idx); setEndLocation(el) }
+  }
+
+  private def onStack(el: DomElement): Boolean = stack.exists(_ eq el)
+
+  // scope queries ------------------------------------------------------
+  private def defaultScopeStop(el: DomElement): Boolean = el.namespace match {
+    case Ns.Html =>
+      el.tagName == "applet" || el.tagName == "caption" || el.tagName == "html" ||
+        el.tagName == "table" || el.tagName == "td" || el.tagName == "th" ||
+        el.tagName == "marquee" || el.tagName == "object" || el.tagName == "template"
+    case Ns.MathMl =>
+      HtmlMeta.isMathMlTextIntegrationPoint(el) || el.tagName == "annotation-xml"
+    case Ns.Svg =>
+      val t = el.tagName
+      t == "foreignObject" || t == "desc" || t == "title"
+    case _ => false
+  }
+
+  private def hasInScopeP(pred: DomElement => Boolean): Boolean = {
+    var i = stack.length - 1
+    while (i >= 0) {
+      val el = stack(i)
+      if (pred(el)) return true
+      if (defaultScopeStop(el)) return false
+      i -= 1
+    }
+    false
+  }
+
+  private def hasInScope(name: String): Boolean =
+    hasInScopeP(el => el.namespace == Ns.Html && el.tagName == name)
+
+  private def hasAnyInScope(names: Set[String]): Boolean =
+    hasInScopeP(el => el.namespace == Ns.Html && names.contains(el.tagName))
+
+  private def hasElementInScope(target: DomElement): Boolean =
+    hasInScopeP(_ eq target)
+
+  private def hasInListItemScope(name: String): Boolean = {
+    var i = stack.length - 1
+    while (i >= 0) {
+      val el = stack(i)
+      if (el.namespace == Ns.Html && el.tagName == name) return true
+      if (defaultScopeStop(el) ||
+        (el.namespace == Ns.Html && (el.tagName == "ol" || el.tagName == "ul")))
+        return false
+      i -= 1
+    }
+    false
+  }
+
+  private def hasInButtonScope(name: String): Boolean = {
+    var i = stack.length - 1
+    while (i >= 0) {
+      val el = stack(i)
+      if (el.namespace == Ns.Html && el.tagName == name) return true
+      if (defaultScopeStop(el) || (el.namespace == Ns.Html && el.tagName == "button"))
+        return false
+      i -= 1
+    }
+    false
+  }
+
+  private def hasInTableScope(name: String): Boolean = {
+    var i = stack.length - 1
+    while (i >= 0) {
+      val el = stack(i)
+      if (el.namespace == Ns.Html) {
+        if (el.tagName == name) return true
+        if (el.tagName == "html" || el.tagName == "table" || el.tagName == "template")
+          return false
+      }
+      i -= 1
+    }
+    false
+  }
+
+  private def hasAnyInTableScope(names: Set[String]): Boolean =
+    names.exists(hasInTableScope)
+
+  private def hasInSelectScope(name: String): Boolean = {
+    var i = stack.length - 1
+    while (i >= 0) {
+      val el = stack(i)
+      if (el.namespace == Ns.Html) {
+        if (el.tagName == name) return true
+        if (el.tagName != "optgroup" && el.tagName != "option") return false
+      } else return false
+      i -= 1
+    }
+    false
+  }
+
+  private def hasTemplateOnStack: Boolean =
+    stack.exists(el => el.namespace == Ns.Html && el.tagName == "template")
+
+  private def generateImpliedEndTags(except: String): Unit = {
+    while (stack.nonEmpty && current.namespace == Ns.Html &&
+      HtmlMeta.ImpliedEndTags.contains(current.tagName) &&
+      current.tagName != except) pop()
+  }
+
+  private def generateImpliedEndTagsThoroughly(): Unit = {
+    while (stack.nonEmpty && current.namespace == Ns.Html &&
+      HtmlMeta.ImpliedEndTagsThorough.contains(current.tagName)) pop()
+  }
+
+  private def clearStackBackToTableContext(): Unit = {
+    while ({
+      val t = current
+      !(t.namespace == Ns.Html &&
+        (t.tagName == "table" || t.tagName == "template" || t.tagName == "html"))
+    }) pop()
+  }
+
+  private def clearStackBackToTableBodyContext(): Unit = {
+    while ({
+      val t = current
+      !(t.namespace == Ns.Html &&
+        (t.tagName == "tbody" || t.tagName == "tfoot" || t.tagName == "thead" ||
+          t.tagName == "template" || t.tagName == "html"))
+    }) pop()
+  }
+
+  private def clearStackBackToTableRowContext(): Unit = {
+    while ({
+      val t = current
+      !(t.namespace == Ns.Html &&
+        (t.tagName == "tr" || t.tagName == "template" || t.tagName == "html"))
+    }) pop()
+  }
+
+  // ------------------------------------------------------------------
+  // node creation & insertion
+  private def createElement(tag: TagToken, ns: Int): DomElement = {
+    val el = new DomElement(tag.name, ns)
+    var i = 0
+    while (i < tag.attrs.length) {
+      val a = tag.attrs(i)
+      el.attrs += new DomAttr(a.name, a.value, a.start, a.end)
+      i += 1
+    }
+    if (captureSpans) {
+      el.startOffset = tag.start
+      el.startTagEnd = tag.end
+    }
+    if (ns == Ns.Html && tag.name == "template") el.templateContent = new DomFragment
+    el
+  }
+
+  private def createFakeElement(name: String): DomElement = {
+    val el = new DomElement(name, Ns.Html)
+    if (name == "template") el.templateContent = new DomFragment
+    el
+  }
+
+  /** Appropriate place for inserting a node (spec §13.2.6.1). Returns the
+    * parent and the node to insert before (null = append).
+    */
+  private def insertionLocation(overrideTarget: DomElement): (DomParent, DomNode) = {
+    val target = if (overrideTarget != null) overrideTarget else current
+    if (fosterParenting && target.namespace == Ns.Html &&
+      (target.tagName == "table" || target.tagName == "tbody" ||
+        target.tagName == "tfoot" || target.tagName == "thead" ||
+        target.tagName == "tr")) {
+      // foster parenting
+      var lastTemplateIdx = -1
+      var lastTableIdx = -1
+      var i = stack.length - 1
+      while (i >= 0 && (lastTemplateIdx < 0 || lastTableIdx < 0)) {
+        val el = stack(i)
+        if (el.namespace == Ns.Html) {
+          if (lastTemplateIdx < 0 && el.tagName == "template") lastTemplateIdx = i
+          if (lastTableIdx < 0 && el.tagName == "table") lastTableIdx = i
+        }
+        i -= 1
+      }
+      if (lastTemplateIdx >= 0 && (lastTableIdx < 0 || lastTemplateIdx > lastTableIdx)) {
+        return (stack(lastTemplateIdx).templateContent, null)
+      }
+      if (lastTableIdx < 0) return (stack(0), null)
+      val table = stack(lastTableIdx)
+      if (table.parent != null) (table.parent, table)
+      else (stack(lastTableIdx - 1), null)
+    } else {
+      if (target.namespace == Ns.Html && target.tagName == "template")
+        (target.templateContent, null)
+      else (target, null)
+    }
+  }
+
+  private def insertNodeAt(loc: (DomParent, DomNode), node: DomNode): Unit = {
+    val (parent, before) = loc
+    if (before == null) parent.appendChild(node)
+    else parent.insertBefore(node, before)
+  }
+
+  private def insertElement(tag: TagToken, ns: Int): DomElement = {
+    val el = createElement(tag, ns)
+    insertNodeAt(insertionLocation(null), el)
+    push(el)
+    el
+  }
+
+  /** Insert an element and immediately pop it (void elements). */
+  private def appendElement(tag: TagToken, ns: Int): DomElement = {
+    val el = createElement(tag, ns)
+    insertNodeAt(insertionLocation(null), el)
+    if (captureSpans) el.endOffset = tag.end
+    el
+  }
+
+  private def insertFakeElement(name: String): DomElement = {
+    val el = createFakeElement(name)
+    insertNodeAt(insertionLocation(null), el)
+    push(el)
+    el
+  }
+
+  /** The implied <html> root is appended to the document itself. */
+  private def insertHtmlRoot(): DomElement = {
+    val el = createFakeElement("html")
+    document.appendChild(el)
+    push(el)
+    el
+  }
+
+  private def insertCharacters(data: String, start: Int, end: Int): Unit = {
+    val loc = insertionLocation(null)
+    val (parent, before) = loc
+    // merge with an existing preceding text node
+    val prev: DomNode =
+      if (before == null) {
+        if (parent.children.nonEmpty) parent.children(parent.children.length - 1) else null
+      } else {
+        val idx = parent.children.indexOf(before)
+        if (idx > 0) parent.children(idx - 1) else null
+      }
+    prev match {
+      case t: DomText =>
+        t.value.append(data)
+        if (captureSpans && end >= 0) t.endOffset = end
+      case _ =>
+        val t = new DomText(new java.lang.StringBuilder(data))
+        if (captureSpans) { t.startOffset = start; t.endOffset = end }
+        insertNodeAt(loc, t)
+    }
+  }
+
+  private def insertComment(data: String, start: Int, end: Int, parent: DomParent): Unit = {
+    val c = new DomComment(data)
+    if (captureSpans) { c.startOffset = start; c.endOffset = end }
+    if (parent != null) parent.appendChild(c)
+    else insertNodeAt(insertionLocation(null), c)
+  }
+
+  // ------------------------------------------------------------------
+  // active formatting elements
+  private def afeInsertMarker(): Unit = afe += new AfeEntry(null, null, 0, Vector.empty)
+
+  private def afePush(el: DomElement, tag: TagToken): Unit = {
+    // Noah's Ark: at most 3 matching entries after the last marker
+    val snapshot = tag.attrs.iterator.map(a => (a.name, a.value)).toVector
+    var count = 0
+    var earliestIdx = -1
+    var i = afe.length - 1
+    var break = false
+    while (i >= 0 && !break) {
+      val e = afe(i)
+      if (e.isMarker) break = true
+      else if (e.name == el.tagName && e.ns == el.namespace &&
+        e.attrsSnapshot.size == snapshot.size && e.attrsSnapshot.toSet == snapshot.toSet) {
+        count += 1
+        earliestIdx = i
+      }
+      i -= 1
+    }
+    if (count >= 3 && earliestIdx >= 0) afe.remove(earliestIdx)
+    afe += new AfeEntry(el, el.tagName, el.namespace, snapshot)
+  }
+
+  private def afeIndexOf(el: DomElement): Int = afe.indexWhere(e => e.element eq el)
+
+  private def afeRemove(el: DomElement): Unit = {
+    val idx = afeIndexOf(el)
+    if (idx >= 0) afe.remove(idx)
+  }
+
+  private def afeClearToLastMarker(): Unit = {
+    var done = false
+    while (!done && afe.nonEmpty) {
+      val e = afe.remove(afe.length - 1)
+      if (e.isMarker) done = true
+    }
+  }
+
+  /** Last entry with the given name after the last marker, or null. */
+  private def afeEntryAfterMarker(name: String): AfeEntry = {
+    var i = afe.length - 1
+    while (i >= 0) {
+      val e = afe(i)
+      if (e.isMarker) return null
+      if (e.name == name && e.ns == Ns.Html) return e
+      i -= 1
+    }
+    null
+  }
+
+  private def reconstructActiveFormattingElements(): Unit = {
+    if (afe.isEmpty) return
+    val lastIdx = afe.length - 1
+    val last = afe(lastIdx)
+    if (last.isMarker || onStack(last.element)) return
+    var i = lastIdx
+    // rewind
+    var entryIdx = i
+    var rewound = false
+    while (!rewound) {
+      if (entryIdx == 0) rewound = true
+      else {
+        entryIdx -= 1
+        val e = afe(entryIdx)
+        if (e.isMarker || onStack(e.element)) {
+          entryIdx += 1 // advance back to the first to recreate
+          rewound = true
+        }
+      }
+    }
+    // recreate from entryIdx to end
+    while (entryIdx < afe.length) {
+      val e = afe(entryIdx)
+      val el = new DomElement(e.name, e.ns)
+      e.attrsSnapshot.foreach { case (n, v) => el.attrs += new DomAttr(n, v) }
+      insertNodeAt(insertionLocation(null), el)
+      push(el)
+      e.element = el
+      entryIdx += 1
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // adoption agency (spec §13.2.6.4.7 "in body" A/B... formatting end tags)
+  private def adoptionAgency(subject: String): Unit = {
+    if (stack.nonEmpty && current.namespace == Ns.Html && current.tagName == subject &&
+      afeIndexOf(current) < 0) {
+      pop()
+      return
+    }
+    var outer = 0
+    while (outer < 8) {
+      outer += 1
+      val entry = afeEntryAfterMarker(subject)
+      if (entry == null) { anyOtherEndTagInBody(subject); return }
+      val fmtEl = entry.element
+      if (!onStack(fmtEl)) { afeRemove(fmtEl); return }
+      if (!hasElementInScope(fmtEl)) return
+      val fmtIdx = stack.indexWhere(_ eq fmtEl)
+      // furthest block: first special element below the formatting element
+      var fbIdx = -1
+      var i = fmtIdx + 1
+      while (i < stack.length && fbIdx < 0) {
+        if (HtmlMeta.isSpecial(stack(i))) fbIdx = i
+        i += 1
+      }
+      if (fbIdx < 0) {
+        popUntilElementPopped(fmtEl)
+        afeRemove(fmtEl)
+        return
+      }
+      val furthestBlock = stack(fbIdx)
+      val commonAncestor = stack(fmtIdx - 1)
+      var bookmark = afeIndexOf(fmtEl)
+      var node = furthestBlock
+      var lastNode: DomNode = furthestBlock
+      var nodeIdx = fbIdx
+      var inner = 0
+      var innerDone = false
+      while (!innerDone) {
+        inner += 1
+        nodeIdx -= 1
+        node = stack(nodeIdx)
+        if (node eq fmtEl) innerDone = true
+        else {
+          var nodeAfeIdx = afeIndexOf(node)
+          if (inner > 3 && nodeAfeIdx >= 0) {
+            afe.remove(nodeAfeIdx)
+            if (nodeAfeIdx < bookmark) bookmark -= 1
+            nodeAfeIdx = -1
+          }
+          if (nodeAfeIdx < 0) {
+            stack.remove(nodeIdx)
+            // fbIdx shifts down, but we no longer need it
+          } else {
+            // clone node
+            val e = afe(nodeAfeIdx)
+            val clone = new DomElement(e.name, e.ns)
+            e.attrsSnapshot.foreach { case (n, v) => clone.attrs += new DomAttr(n, v) }
+            e.element = clone
+            stack(nodeIdx) = clone
+            node = clone
+            if (lastNode eq furthestBlock) bookmark = nodeAfeIdx + 1
+            // detach lastNode and append to node
+            lastNode match {
+              case p: DomNode if p.parent != null => p.parent.removeChild(p)
+              case _ =>
+            }
+            node.appendChild(lastNode)
+            lastNode = node
+          }
+        }
+      }
+      // insert lastNode at appropriate place with commonAncestor override
+      if (lastNode.parent != null) lastNode.parent.removeChild(lastNode)
+      val savedFoster = fosterParenting
+      fosterParenting = true
+      val loc = insertionLocation(commonAncestor)
+      fosterParenting = savedFoster
+      // only foster-parent when commonAncestor is a table-ish element
+      val ca = commonAncestor
+      if (ca.namespace == Ns.Html &&
+        (ca.tagName == "table" || ca.tagName == "tbody" || ca.tagName == "tfoot" ||
+          ca.tagName == "thead" || ca.tagName == "tr")) {
+        insertNodeAt(loc, lastNode)
+      } else if (ca.namespace == Ns.Html && ca.tagName == "template") {
+        ca.templateContent.appendChild(lastNode)
+      } else {
+        ca.appendChild(lastNode)
+      }
+      // new clone of formatting element; move furthest block's children
+      val fmtEntryIdx = afeIndexOf(fmtEl)
+      val fmtEntry = afe(fmtEntryIdx)
+      val clone = new DomElement(fmtEntry.name, fmtEntry.ns)
+      fmtEntry.attrsSnapshot.foreach { case (n, v) => clone.attrs += new DomAttr(n, v) }
+      while (furthestBlock.children.nonEmpty) {
+        val c = furthestBlock.children(0)
+        furthestBlock.removeChild(c)
+        clone.appendChild(c)
+      }
+      furthestBlock.appendChild(clone)
+      // AFE: remove old entry, insert new at bookmark
+      val removeIdx = afeIndexOf(fmtEl)
+      if (removeIdx >= 0) {
+        if (removeIdx < bookmark) bookmark -= 1
+        afe.remove(removeIdx)
+      }
+      val newEntry = new AfeEntry(clone, clone.tagName, clone.namespace, fmtEntry.attrsSnapshot)
+      if (bookmark < 0) bookmark = 0
+      if (bookmark > afe.length) bookmark = afe.length
+      afe.insert(bookmark, newEntry)
+      // stack: remove formatting element, insert clone below furthest block
+      removeFromStack(fmtEl)
+      val fbNewIdx = stack.indexWhere(_ eq furthestBlock)
+      stack.insert(fbNewIdx + 1, clone)
+    }
+  }
+
+  private def anyOtherEndTagInBody(name: String): Unit = {
+    var i = stack.length - 1
+    var done = false
+    while (i >= 0 && !done) {
+      val node = stack(i)
+      if (node.namespace == Ns.Html && node.tagName == name) {
+        generateImpliedEndTags(name)
+        popUntilElementPopped(node)
+        done = true
+      } else if (HtmlMeta.isSpecial(node)) {
+        err("unexpected-end-tag", curTokStart, curTokEnd)
+        done = true
+      }
+      i -= 1
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // reset insertion mode (spec §13.2.4.1)
+  private def resetInsertionMode(): Unit = {
+    var i = stack.length - 1
+    var done = false
+    while (i >= 0 && !done) {
+      var node = stack(i)
+      val last = i == 0
+      if (last && fragmentContext != null) node = fragmentContext
+      if (node.namespace == Ns.Html) {
+        node.tagName match {
+          case "select" =>
+            mode = InSelect
+            var j = i
+            var foundTable = false
+            var stop = false
+            while (j > 0 && !stop) {
+              j -= 1
+              val anc = stack(j)
+              if (anc.namespace == Ns.Html && anc.tagName == "template") stop = true
+              else if (anc.namespace == Ns.Html && anc.tagName == "table") {
+                foundTable = true; stop = true
+              }
+            }
+            if (foundTable) mode = InSelectInTable
+            done = true
+          case "td" | "th" if !last => mode = InCell; done = true
+          case "tr"                 => mode = InRow; done = true
+          case "tbody" | "thead" | "tfoot" => mode = InTableBody; done = true
+          case "caption"                   => mode = InCaption; done = true
+          case "colgroup"                  => mode = InColumnGroup; done = true
+          case "table"                     => mode = InTable; done = true
+          case "template" =>
+            mode = templateModes(templateModes.length - 1); done = true
+          case "head" if !last => mode = InHead; done = true
+          case "body"          => mode = InBody; done = true
+          case "frameset"      => mode = InFrameset; done = true
+          case "html" =>
+            mode = if (headElement == null) BeforeHead else AfterHead
+            done = true
+          case _ =>
+            if (last) { mode = InBody; done = true }
+        }
+      } else if (last) { mode = InBody; done = true }
+      i -= 1
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // foreign content helpers
+  private def adjustedCurrentNode: DomElement = {
+    if (stack.isEmpty) null
+    else if (fragmentContext != null && stack.length == 1) fragmentContext
+    else current
+  }
+
+  override def cdataAllowed: Boolean = {
+    val acn = adjustedCurrentNode
+    acn != null && acn.namespace != Ns.Html
+  }
+
+  /** True when the token must be processed via foreign-content rules. */
+  private def useForeignRules(isStartTag: Boolean, isChar: Boolean, tagName: String): Boolean = {
+    val acn = adjustedCurrentNode
+    if (acn == null || acn.namespace == Ns.Html) return false
+    if (HtmlMeta.isMathMlTextIntegrationPoint(acn)) {
+      if (isStartTag && tagName != "mglyph" && tagName != "malignmark") return false
+      if (isChar) return false
+    }
+    if (acn.namespace == Ns.MathMl && acn.tagName == "annotation-xml" &&
+      isStartTag && tagName == "svg") return false
+    if (HtmlMeta.isHtmlIntegrationPoint(acn) && (isStartTag || isChar)) return false
+    true
+  }
+
+  private def adjustMathMlAttrs(tag: TagToken): Unit = {
+    var i = 0
+    while (i < tag.attrs.length) {
+      if (tag.attrs(i).name == "definitionurl") tag.attrs(i).name = "definitionURL"
+      i += 1
+    }
+  }
+
+  private def adjustSvgAttrs(tag: TagToken): Unit = {
+    var i = 0
+    while (i < tag.attrs.length) {
+      HtmlMeta.SvgAttrAdjust.get(tag.attrs(i).name).foreach(tag.attrs(i).name = _)
+      i += 1
+    }
+  }
+
+  private def adjustForeignAttrs(tag: TagToken): Unit = {
+    var i = 0
+    while (i < tag.attrs.length) {
+      HtmlMeta.ForeignAttrAdjust.get(tag.attrs(i).name).foreach(tag.attrs(i).name = _)
+      i += 1
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // text-mode (RCDATA/RAWTEXT/script data) switching
+  private def switchToTextParsing(tag: TagToken, tokenizerState: Int): Unit = {
+    insertElement(tag, Ns.Html)
+    tokenizer.state = tokenizerState
+    originalMode = mode
+    mode = Text
+  }
+
+  // ==================================================================
+  // TokenSink implementation
+  // ==================================================================
+
+  private def applyIgnoreLf(data: String): String = {
+    if (ignoreNextLf) {
+      ignoreNextLf = false
+      if (data.nonEmpty && data.charAt(0) == '\n') data.substring(1) else data
+    } else data
+  }
+
+  override def onChars(data0: String, start: Int, end: Int): Unit = {
+    if (stopped) return
+    curTokStart = start; curTokEnd = end; curTokEndTagName = null
+    val data = applyIgnoreLf(data0)
+    if (data.isEmpty) return
+    if (useForeignRules(isStartTag = false, isChar = true, null)) {
+      insertCharacters(data, start, end)
+      framesetOk = false
+    } else processChars(data, isWs = false, start, end)
+  }
+
+  override def onWhitespace(data0: String, start: Int, end: Int): Unit = {
+    if (stopped) return
+    curTokStart = start; curTokEnd = end; curTokEndTagName = null
+    val data = applyIgnoreLf(data0)
+    if (data.isEmpty) return
+    if (useForeignRules(isStartTag = false, isChar = true, null)) {
+      insertCharacters(data, start, end)
+    } else processChars(data, isWs = true, start, end)
+  }
+
+  override def onNull(start: Int): Unit = {
+    if (stopped) return
+    curTokStart = start; curTokEnd = start + 1; curTokEndTagName = null
+    ignoreNextLf = false
+    if (useForeignRules(isStartTag = false, isChar = true, null)) {
+      err("unexpected-null-character", start, start + 1)
+      insertCharacters("�", start, start + 1)
+      return
+    }
+    mode match {
+      case Text =>
+        // tokenizer already replaced NULs in RCDATA/RAWTEXT/script data
+        insertCharacters("�", start, start + 1)
+      case InTableText =>
+        err("unexpected-null-character", start, start + 1)
+      case _ =>
+        err("unexpected-null-character", start, start + 1)
+    }
+  }
+
+  override def onStartTag(tag: TagToken): Unit = {
+    if (stopped) return
+    curTokStart = tag.start; curTokEnd = tag.end; curTokEndTagName = null
+    ignoreNextLf = false
+    if (useForeignRules(isStartTag = true, isChar = false, tag.name))
+      foreignStartTag(tag)
+    else processStartTag(tag)
+  }
+
+  override def onEndTag(tag: TagToken): Unit = {
+    if (stopped) return
+    curTokStart = tag.start; curTokEnd = tag.end; curTokEndTagName = tag.name
+    ignoreNextLf = false
+    if (useForeignRules(isStartTag = false, isChar = false, tag.name))
+      foreignEndTag(tag)
+    else processEndTag(tag)
+    curTokEndTagName = null
+  }
+
+  override def onComment(data: String, start: Int, end: Int): Unit = {
+    if (stopped) return
+    curTokStart = start; curTokEnd = end; curTokEndTagName = null
+    ignoreNextLf = false
+    if (mode == InTableText) { flushTableText(); mode = originalMode }
+    mode match {
+      case Initial | BeforeHtml | AfterAfterBody | AfterAfterFrameset =>
+        insertComment(data, start, end, document)
+      case AfterBody =>
+        insertComment(data, start, end, stack(0))
+      case _ =>
+        insertComment(data, start, end, null)
+    }
+  }
+
+  override def onDoctype(d: DoctypeTok): Unit = {
+    if (stopped) return
+    curTokStart = d.start; curTokEnd = d.end; curTokEndTagName = null
+    ignoreNextLf = false
+    mode match {
+      case Initial =>
+        val node = new DomDoctype(
+          if (d.name == null) "" else d.name,
+          if (d.publicId == null) "" else d.publicId,
+          if (d.systemId == null) "" else d.systemId
+        )
+        if (captureSpans) { node.startOffset = d.start; node.endOffset = d.end }
+        document.appendChild(node)
+        document.quirksMode =
+          if (d.forceQuirks) "quirks"
+          else HtmlMeta.documentMode(
+            if (d.name == null) "" else d.name, d.publicId, d.systemId)
+        mode = BeforeHtml
+      case InTableText =>
+        flushTableText(); mode = originalMode
+        err("misplaced-doctype", d.start, d.end)
+      case _ =>
+        err("misplaced-doctype", d.start, d.end)
+    }
+  }
+
+  override def onEof(pos: Int): Unit = {
+    if (stopped) return
+    curTokStart = pos; curTokEnd = pos; curTokEndTagName = null
+    processEof(pos)
+    // finalize spans for everything still open
+    while (stack.nonEmpty) {
+      val el = stack.remove(stack.length - 1)
+      if (captureSpans && el.startOffset >= 0 && el.endOffset < 0)
+        el.endOffset = pos
+    }
+  }
+
+  override def onParseError(code: String, start: Int, end: Int): Unit =
+    err(code, start, end)
+
+  private def processEof(pos: Int): Unit = {
+    mode match {
+      case Initial =>
+        document.quirksMode = "quirks"
+        mode = BeforeHtml; processEof(pos)
+      case BeforeHtml =>
+        insertHtmlRoot(); mode = BeforeHead; processEof(pos)
+      case BeforeHead =>
+        headElement = insertFakeElement("head"); mode = InHead; processEof(pos)
+      case InHead =>
+        pop(); mode = AfterHead; processEof(pos)
+      case InHeadNoscript =>
+        err("eof-in-head-noscript", pos, pos)
+        pop(); mode = InHead; processEof(pos)
+      case AfterHead =>
+        insertFakeElement("body"); mode = InBody; processEof(pos)
+      case InBody | InTable | InCaption | InColumnGroup | InTableBody | InRow |
+          InCell | InSelect | InSelectInTable =>
+        if (templateModes.nonEmpty) eofInTemplate(pos)
+        else stopped = true
+      case Text =>
+        err("eof-in-element-that-can-contain-only-text", pos, pos)
+        pop()
+        mode = originalMode
+        processEof(pos)
+      case InTableText =>
+        flushTableText()
+        mode = originalMode
+        processEof(pos)
+      case InTemplate =>
+        eofInTemplate(pos)
+      case AfterBody | InFrameset | AfterFrameset | AfterAfterBody |
+          AfterAfterFrameset =>
+        stopped = true
+      case _ =>
+        stopped = true
+    }
+  }
+
+  private def eofInTemplate(pos: Int): Unit = {
+    if (!hasTemplateOnStack) { stopped = true; return }
+    err("eof-in-template", pos, pos)
+    popUntilPopped("template")
+    afeClearToLastMarker()
+    if (templateModes.nonEmpty) templateModes.remove(templateModes.length - 1)
+    resetInsertionMode()
+    processEof(pos)
+  }
+
+  // ------------------------------------------------------------------
+  // character dispatch
+  private def processChars(data: String, isWs: Boolean, start: Int, end: Int): Unit = {
+    mode match {
+      case Initial | BeforeHtml | BeforeHead =>
+        if (isWs) () // ignore
+        else { anythingElseChars(data, start, end) }
+      case InHead | InHeadNoscript | AfterHead =>
+        if (isWs) insertCharacters(data, start, end)
+        else anythingElseChars(data, start, end)
+      case InBody | InCaption | InCell | InTemplate =>
+        reconstructActiveFormattingElements()
+        insertCharacters(data, start, end)
+        if (!isWs) framesetOk = false
+      case Text =>
+        insertCharacters(data, start, end)
+      case InTable | InTableBody | InRow =>
+        val t = current
+        if (t.namespace == Ns.Html &&
+          (t.tagName == "table" || t.tagName == "tbody" || t.tagName == "tfoot" ||
+            t.tagName == "thead" || t.tagName == "tr" || t.tagName == "template")) {
+          pendingTableChars.clear()
+          originalMode = mode
+          mode = InTableText
+          processChars(data, isWs, start, end)
+        } else {
+          err("unexpected-character-in-table", start, end)
+          fosterParenting = true
+          reconstructActiveFormattingElements()
+          insertCharacters(data, start, end)
+          if (!isWs) framesetOk = false
+          fosterParenting = false
+        }
+      case InTableText =>
+        pendingTableChars += ((data, isWs, start, end))
+      case InColumnGroup =>
+        if (isWs) insertCharacters(data, start, end)
+        else {
+          // leading whitespace already split off by the tokenizer
+          if (current.namespace == Ns.Html && current.tagName == "colgroup") {
+            pop(); mode = InTable
+            processChars(data, isWs, start, end)
+          } else err("unexpected-char-in-colgroup", start, end)
+        }
+      case InSelect | InSelectInTable =>
+        insertCharacters(data, start, end)
+      case AfterBody | AfterAfterBody =>
+        if (isWs) {
+          // process per in-body rules
+          reconstructActiveFormattingElements()
+          insertCharacters(data, start, end)
+        } else {
+          err("unexpected-char-after-body", start, end)
+          mode = InBody
+          processChars(data, isWs, start, end)
+        }
+      case InFrameset | AfterFrameset | AfterAfterFrameset =>
+        if (isWs) insertCharacters(data, start, end)
+        else err("unexpected-char-in-frameset", start, end)
+      case _ =>
+    }
+  }
+
+  /** "anything else" handling for chars in the pre-body modes. */
+  private def anythingElseChars(data: String, start: Int, end: Int): Unit = {
+    mode match {
+      case Initial =>
+        document.quirksMode = "quirks"
+        mode = BeforeHtml
+        anythingElseChars(data, start, end)
+      case BeforeHtml =>
+        insertHtmlRoot()
+        mode = BeforeHead
+        anythingElseChars(data, start, end)
+      case BeforeHead =>
+        headElement = insertFakeElement("head")
+        mode = InHead
+        anythingElseChars(data, start, end)
+      case InHead =>
+        pop()
+        mode = AfterHead
+        anythingElseChars(data, start, end)
+      case InHeadNoscript =>
+        err("unexpected-char-in-noscript", start, end)
+        pop()
+        mode = InHead
+        anythingElseChars(data, start, end)
+      case AfterHead =>
+        insertFakeElement("body")
+        mode = InBody
+        processChars(data, isWs = false, start, end)
+      case _ =>
+        processChars(data, isWs = false, start, end)
+    }
+  }
+
+  private def flushTableText(): Unit = {
+    val anyNonWs = pendingTableChars.exists(!_._2)
+    if (anyNonWs) {
+      var i = 0
+      while (i < pendingTableChars.length) {
+        val (d, ws, s, e) = pendingTableChars(i)
+        err("unexpected-character-in-table", s, e)
+        fosterParenting = true
+        reconstructActiveFormattingElements()
+        insertCharacters(d, s, e)
+        if (!ws) framesetOk = false
+        fosterParenting = false
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < pendingTableChars.length) {
+        val (d, _, s, e) = pendingTableChars(i)
+        insertCharacters(d, s, e)
+        i += 1
+      }
+    }
+    pendingTableChars.clear()
+  }
+
+  // ------------------------------------------------------------------
+  // start tags
+  private def mergeAttrsInto(el: DomElement, tag: TagToken): Unit = {
+    var i = 0
+    while (i < tag.attrs.length) {
+      val a = tag.attrs(i)
+      if (!el.hasAttr(a.name)) el.attrs += new DomAttr(a.name, a.value, a.start, a.end)
+      i += 1
+    }
+  }
+
+  private def processStartTag(tag: TagToken): Unit = {
+    if (mode == InTableText) {
+      flushTableText()
+      mode = originalMode
+    }
+    mode match {
+      case Initial =>
+        document.quirksMode = "quirks"
+        mode = BeforeHtml
+        processStartTag(tag)
+      case BeforeHtml =>
+        if (tag.name == "html") {
+          val el = createElement(tag, Ns.Html)
+          document.appendChild(el)
+          push(el)
+          mode = BeforeHead
+        } else {
+          insertHtmlRoot()
+          mode = BeforeHead
+          processStartTag(tag)
+        }
+      case BeforeHead =>
+        tag.name match {
+          case "html" => startTagInBody(tag)
+          case "head" =>
+            headElement = insertElement(tag, Ns.Html)
+            mode = InHead
+          case _ =>
+            headElement = insertFakeElement("head")
+            mode = InHead
+            processStartTag(tag)
+        }
+      case InHead        => startTagInHead(tag)
+      case InHeadNoscript =>
+        tag.name match {
+          case "html" => startTagInBody(tag)
+          case "basefont" | "bgsound" | "link" | "meta" | "noframes" | "style" =>
+            startTagInHead(tag)
+          case "head" | "noscript" =>
+            err("unexpected-start-tag", tag.start, tag.end)
+          case _ =>
+            err("unexpected-start-tag-in-noscript", tag.start, tag.end)
+            pop(); mode = InHead
+            processStartTag(tag)
+        }
+      case AfterHead =>
+        tag.name match {
+          case "html" => startTagInBody(tag)
+          case "body" =>
+            insertElement(tag, Ns.Html)
+            framesetOk = false
+            mode = InBody
+          case "frameset" =>
+            insertElement(tag, Ns.Html)
+            mode = InFrameset
+          case "base" | "basefont" | "bgsound" | "link" | "meta" | "noframes" |
+              "script" | "style" | "template" | "title" =>
+            err("abandoned-head-element-child", tag.start, tag.end)
+            push(headElement)
+            startTagInHead(tag)
+            removeFromStack(headElement)
+          case "head" =>
+            err("unexpected-start-tag", tag.start, tag.end)
+          case _ =>
+            insertFakeElement("body")
+            mode = InBody
+            processStartTag(tag)
+        }
+      case InBody => startTagInBody(tag)
+      case Text   => // unreachable: text mode only sees chars/end tags/EOF
+      case InTable => startTagInTable(tag)
+      case InCaption =>
+        tag.name match {
+          case "caption" | "col" | "colgroup" | "tbody" | "td" | "tfoot" | "th" |
+              "thead" | "tr" =>
+            if (hasInTableScope("caption")) {
+              closeCaption()
+              processStartTag(tag)
+            } else err("unexpected-start-tag", tag.start, tag.end)
+          case _ => startTagInBody(tag)
+        }
+      case InColumnGroup =>
+        tag.name match {
+          case "html" => startTagInBody(tag)
+          case "col" =>
+            appendElement(tag, Ns.Html)
+            tag.ackSelfClosing = true
+          case "template" => startTagInHead(tag)
+          case _ =>
+            if (current.namespace == Ns.Html && current.tagName == "colgroup") {
+              pop(); mode = InTable
+              processStartTag(tag)
+            } else err("unexpected-start-tag", tag.start, tag.end)
+        }
+      case InTableBody =>
+        tag.name match {
+          case "tr" =>
+            clearStackBackToTableBodyContext()
+            insertElement(tag, Ns.Html)
+            mode = InRow
+          case "th" | "td" =>
+            err("unexpected-cell-in-table-body", tag.start, tag.end)
+            clearStackBackToTableBodyContext()
+            insertFakeElement("tr")
+            mode = InRow
+            processStartTag(tag)
+          case "caption" | "col" | "colgroup" | "tbody" | "tfoot" | "thead" =>
+            if (hasAnyInTableScope(Set("tbody", "thead", "tfoot"))) {
+              clearStackBackToTableBodyContext()
+              pop()
+              mode = InTable
+              processStartTag(tag)
+            } else err("unexpected-start-tag", tag.start, tag.end)
+          case _ => startTagInTable(tag)
+        }
+      case InRow =>
+        tag.name match {
+          case "th" | "td" =>
+            clearStackBackToTableRowContext()
+            insertElement(tag, Ns.Html)
+            mode = InCell
+            afeInsertMarker()
+          case "caption" | "col" | "colgroup" | "tbody" | "tfoot" | "thead" | "tr" =>
+            if (hasInTableScope("tr")) {
+              clearStackBackToTableRowContext()
+              pop()
+              mode = InTableBody
+              processStartTag(tag)
+            } else err("unexpected-start-tag", tag.start, tag.end)
+          case _ => startTagInTable(tag)
+        }
+      case InCell =>
+        tag.name match {
+          case "caption" | "col" | "colgroup" | "tbody" | "td" | "tfoot" | "th" |
+              "thead" | "tr" =>
+            if (hasAnyInTableScope(Set("td", "th"))) {
+              closeCell()
+              processStartTag(tag)
+            } else err("unexpected-start-tag", tag.start, tag.end)
+          case _ => startTagInBody(tag)
+        }
+      case InSelect        => startTagInSelect(tag)
+      case InSelectInTable =>
+        tag.name match {
+          case "caption" | "table" | "tbody" | "tfoot" | "thead" | "tr" | "td" |
+              "th" =>
+            err("unexpected-table-element-in-select", tag.start, tag.end)
+            popUntilPopped("select")
+            resetInsertionMode()
+            processStartTag(tag)
+          case _ => startTagInSelect(tag)
+        }
+      case InTemplate =>
+        tag.name match {
+          case "base" | "basefont" | "bgsound" | "link" | "meta" | "noframes" |
+              "script" | "style" | "template" | "title" =>
+            startTagInHead(tag)
+          case "caption" | "colgroup" | "tbody" | "tfoot" | "thead" =>
+            templateModes.remove(templateModes.length - 1)
+            templateModes += InTable
+            mode = InTable
+            processStartTag(tag)
+          case "col" =>
+            templateModes.remove(templateModes.length - 1)
+            templateModes += InColumnGroup
+            mode = InColumnGroup
+            processStartTag(tag)
+          case "tr" =>
+            templateModes.remove(templateModes.length - 1)
+            templateModes += InTableBody
+            mode = InTableBody
+            processStartTag(tag)
+          case "td" | "th" =>
+            templateModes.remove(templateModes.length - 1)
+            templateModes += InRow
+            mode = InRow
+            processStartTag(tag)
+          case _ =>
+            templateModes.remove(templateModes.length - 1)
+            templateModes += InBody
+            mode = InBody
+            processStartTag(tag)
+        }
+      case AfterBody =>
+        if (tag.name == "html") startTagInBody(tag)
+        else {
+          err("unexpected-start-tag-after-body", tag.start, tag.end)
+          mode = InBody
+          processStartTag(tag)
+        }
+      case InFrameset =>
+        tag.name match {
+          case "html"     => startTagInBody(tag)
+          case "frameset" => insertElement(tag, Ns.Html)
+          case "frame" =>
+            appendElement(tag, Ns.Html)
+            tag.ackSelfClosing = true
+          case "noframes" => startTagInHead(tag)
+          case _          => err("unexpected-start-tag", tag.start, tag.end)
+        }
+      case AfterFrameset =>
+        tag.name match {
+          case "html"     => startTagInBody(tag)
+          case "noframes" => startTagInHead(tag)
+          case _          => err("unexpected-start-tag", tag.start, tag.end)
+        }
+      case AfterAfterBody =>
+        if (tag.name == "html") startTagInBody(tag)
+        else {
+          err("unexpected-start-tag", tag.start, tag.end)
+          mode = InBody
+          processStartTag(tag)
+        }
+      case AfterAfterFrameset =>
+        tag.name match {
+          case "html"     => startTagInBody(tag)
+          case "noframes" => startTagInHead(tag)
+          case _          => err("unexpected-start-tag", tag.start, tag.end)
+        }
+      case _ =>
+    }
+  }
+
+  private def startTagInHead(tag: TagToken): Unit = {
+    tag.name match {
+      case "html" => startTagInBody(tag)
+      case "base" | "basefont" | "bgsound" | "link" | "meta" =>
+        appendElement(tag, Ns.Html)
+        tag.ackSelfClosing = true
+      case "title" => switchToTextParsing(tag, TokenizerState.Rcdata)
+      case "noscript" =>
+        if (scriptingEnabled) switchToTextParsing(tag, TokenizerState.Rawtext)
+        else {
+          insertElement(tag, Ns.Html)
+          mode = InHeadNoscript
+        }
+      case "noframes" | "style" => switchToTextParsing(tag, TokenizerState.Rawtext)
+      case "script" => switchToTextParsing(tag, TokenizerState.ScriptData)
+      case "template" =>
+        insertElement(tag, Ns.Html)
+        afeInsertMarker()
+        framesetOk = false
+        mode = InTemplate
+        templateModes += InTemplate
+      case "head" =>
+        err("unexpected-start-tag", tag.start, tag.end)
+      case _ =>
+        pop()
+        mode = AfterHead
+        processStartTag(tag)
+    }
+  }
+
+  private def startTagInTable(tag: TagToken): Unit = {
+    tag.name match {
+      case "caption" =>
+        clearStackBackToTableContext()
+        afeInsertMarker()
+        insertElement(tag, Ns.Html)
+        mode = InCaption
+      case "colgroup" =>
+        clearStackBackToTableContext()
+        insertElement(tag, Ns.Html)
+        mode = InColumnGroup
+      case "col" =>
+        clearStackBackToTableContext()
+        insertFakeElement("colgroup")
+        mode = InColumnGroup
+        processStartTag(tag)
+      case "tbody" | "tfoot" | "thead" =>
+        clearStackBackToTableContext()
+        insertElement(tag, Ns.Html)
+        mode = InTableBody
+      case "td" | "th" | "tr" =>
+        clearStackBackToTableContext()
+        insertFakeElement("tbody")
+        mode = InTableBody
+        processStartTag(tag)
+      case "table" =>
+        err("unexpected-table-in-table", tag.start, tag.end)
+        if (hasInTableScope("table")) {
+          popUntilPopped("table")
+          resetInsertionMode()
+          processStartTag(tag)
+        }
+      case "style" | "script" | "template" => startTagInHead(tag)
+      case "input" =>
+        val ty = tag.attr("type")
+        if (ty != null && ty.equalsIgnoreCase("hidden")) {
+          err("unexpected-hidden-input-in-table", tag.start, tag.end)
+          appendElement(tag, Ns.Html)
+          tag.ackSelfClosing = true
+        } else anythingElseInTable(tag)
+      case "form" =>
+        err("unexpected-form-in-table", tag.start, tag.end)
+        if (formElement == null && !hasTemplateOnStack) {
+          formElement = insertElement(tag, Ns.Html)
+          pop()
+        }
+      case _ => anythingElseInTable(tag)
+    }
+  }
+
+  private def anythingElseInTable(tag: TagToken): Unit = {
+    err("unexpected-start-tag-implies-foster-parenting", tag.start, tag.end)
+    fosterParenting = true
+    startTagInBody(tag)
+    fosterParenting = false
+  }
+
+  private def startTagInSelect(tag: TagToken): Unit = {
+    tag.name match {
+      case "html" => startTagInBody(tag)
+      case "option" =>
+        if (current.namespace == Ns.Html && current.tagName == "option") pop()
+        insertElement(tag, Ns.Html)
+      case "optgroup" =>
+        if (current.namespace == Ns.Html && current.tagName == "option") pop()
+        if (current.namespace == Ns.Html && current.tagName == "optgroup") pop()
+        insertElement(tag, Ns.Html)
+      case "hr" =>
+        if (current.namespace == Ns.Html && current.tagName == "option") pop()
+        if (current.namespace == Ns.Html && current.tagName == "optgroup") pop()
+        appendElement(tag, Ns.Html)
+        tag.ackSelfClosing = true
+      case "input" | "keygen" | "textarea" | "select" =>
+        err("unexpected-start-tag-in-select", tag.start, tag.end)
+        if (hasInSelectScope("select")) {
+          popUntilPopped("select")
+          resetInsertionMode()
+          if (tag.name != "select") processStartTag(tag)
+        }
+      case "script" | "template" => startTagInHead(tag)
+      case _                     => err("unexpected-start-tag-in-select", tag.start, tag.end)
+    }
+  }
+
+  private def closePElement(): Unit = {
+    generateImpliedEndTags("p")
+    if (!(current.namespace == Ns.Html && current.tagName == "p"))
+      err("unclosed-elements-on-p-close", curTokStart, curTokEnd)
+    popUntilPopped("p")
+  }
+
+  private def closePIfInButtonScope(): Unit =
+    if (hasInButtonScope("p")) closePElement()
+
+  private def closeCaption(): Unit = {
+    generateImpliedEndTags(null)
+    if (!(current.namespace == Ns.Html && current.tagName == "caption"))
+      err("unclosed-elements", curTokStart, curTokEnd)
+    popUntilPopped("caption")
+    afeClearToLastMarker()
+    mode = InTable
+  }
+
+  private def closeCell(): Unit = {
+    generateImpliedEndTags(null)
+    if (!(current.namespace == Ns.Html &&
+      (current.tagName == "td" || current.tagName == "th")))
+      err("unclosed-elements-in-cell", curTokStart, curTokEnd)
+    popUntilOneOfPopped(Set("td", "th"))
+    afeClearToLastMarker()
+    mode = InRow
+  }
+
+  // ------------------------------------------------------------------
+  // "in body" start tags (spec §13.2.6.4.7)
+  private def startTagInBody(tag: TagToken): Unit = {
+    tag.name match {
+      case "html" =>
+        err("unexpected-html-start-tag", tag.start, tag.end)
+        if (!hasTemplateOnStack && stack.nonEmpty) mergeAttrsInto(stack(0), tag)
+
+      case "base" | "basefont" | "bgsound" | "link" | "meta" | "noframes" |
+          "script" | "style" | "template" | "title" =>
+        startTagInHead(tag)
+
+      case "body" =>
+        err("unexpected-body-start-tag", tag.start, tag.end)
+        if (stack.length > 1 && stack(1).namespace == Ns.Html &&
+          stack(1).tagName == "body" && !hasTemplateOnStack) {
+          framesetOk = false
+          mergeAttrsInto(stack(1), tag)
+        }
+
+      case "frameset" =>
+        err("unexpected-frameset-start-tag", tag.start, tag.end)
+        if (stack.length > 1 && stack(1).namespace == Ns.Html &&
+          stack(1).tagName == "body" && framesetOk) {
+          val body = stack(1)
+          if (body.parent != null) body.parent.removeChild(body)
+          while (stack.length > 1) pop()
+          insertElement(tag, Ns.Html)
+          mode = InFrameset
+        }
+
+      case "address" | "article" | "aside" | "blockquote" | "center" |
+          "details" | "dialog" | "dir" | "div" | "dl" | "fieldset" |
+          "figcaption" | "figure" | "footer" | "header" | "hgroup" | "main" |
+          "menu" | "nav" | "ol" | "p" | "section" | "summary" | "ul" =>
+        closePIfInButtonScope()
+        insertElement(tag, Ns.Html)
+
+      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+        closePIfInButtonScope()
+        if (current.namespace == Ns.Html && HtmlMeta.Headings.contains(current.tagName)) {
+          err("unexpected-heading-in-heading", tag.start, tag.end)
+          pop()
+        }
+        insertElement(tag, Ns.Html)
+
+      case "pre" | "listing" =>
+        closePIfInButtonScope()
+        insertElement(tag, Ns.Html)
+        ignoreNextLf = true
+        framesetOk = false
+
+      case "form" =>
+        if (formElement != null && !hasTemplateOnStack)
+          err("unexpected-form-start-tag", tag.start, tag.end)
+        else {
+          closePIfInButtonScope()
+          val el = insertElement(tag, Ns.Html)
+          if (!hasTemplateOnStack) formElement = el
+        }
+
+      case "li" =>
+        framesetOk = false
+        var i = stack.length - 1
+        var done = false
+        while (i >= 0 && !done) {
+          val node = stack(i)
+          if (node.namespace == Ns.Html && node.tagName == "li") {
+            generateImpliedEndTags("li")
+            if (!(current.namespace == Ns.Html && current.tagName == "li"))
+              err("unclosed-elements", tag.start, tag.end)
+            popUntilPopped("li")
+            done = true
+          } else if (HtmlMeta.isSpecial(node) &&
+            !(node.namespace == Ns.Html &&
+              (node.tagName == "address" || node.tagName == "div" || node.tagName == "p")))
+            done = true
+          i -= 1
+        }
+        closePIfInButtonScope()
+        insertElement(tag, Ns.Html)
+
+      case "dd" | "dt" =>
+        framesetOk = false
+        var i = stack.length - 1
+        var done = false
+        while (i >= 0 && !done) {
+          val node = stack(i)
+          if (node.namespace == Ns.Html &&
+            (node.tagName == "dd" || node.tagName == "dt")) {
+            generateImpliedEndTags(node.tagName)
+            if (!(current.namespace == Ns.Html && current.tagName == node.tagName))
+              err("unclosed-elements", tag.start, tag.end)
+            popUntilPopped(node.tagName)
+            done = true
+          } else if (HtmlMeta.isSpecial(node) &&
+            !(node.namespace == Ns.Html &&
+              (node.tagName == "address" || node.tagName == "div" || node.tagName == "p")))
+            done = true
+          i -= 1
+        }
+        closePIfInButtonScope()
+        insertElement(tag, Ns.Html)
+
+      case "plaintext" =>
+        closePIfInButtonScope()
+        insertElement(tag, Ns.Html)
+        tokenizer.state = TokenizerState.Plaintext
+
+      case "button" =>
+        if (hasInScope("button")) {
+          err("unexpected-button-in-button", tag.start, tag.end)
+          generateImpliedEndTags(null)
+          popUntilPopped("button")
+        }
+        reconstructActiveFormattingElements()
+        insertElement(tag, Ns.Html)
+        framesetOk = false
+
+      case "a" =>
+        val existing = afeEntryAfterMarker("a")
+        if (existing != null) {
+          err("unexpected-a-in-a", tag.start, tag.end)
+          adoptionAgency("a")
+          if (existing.element != null) {
+            afeRemove(existing.element)
+            removeFromStack(existing.element)
+          }
+        }
+        reconstructActiveFormattingElements()
+        val el = insertElement(tag, Ns.Html)
+        afePush(el, tag)
+
+      case "b" | "big" | "code" | "em" | "font" | "i" | "s" | "small" |
+          "strike" | "strong" | "tt" | "u" =>
+        reconstructActiveFormattingElements()
+        val el = insertElement(tag, Ns.Html)
+        afePush(el, tag)
+
+      case "nobr" =>
+        reconstructActiveFormattingElements()
+        if (hasInScope("nobr")) {
+          err("unexpected-nobr-in-nobr", tag.start, tag.end)
+          adoptionAgency("nobr")
+          reconstructActiveFormattingElements()
+        }
+        val el = insertElement(tag, Ns.Html)
+        afePush(el, tag)
+
+      case "applet" | "marquee" | "object" =>
+        reconstructActiveFormattingElements()
+        insertElement(tag, Ns.Html)
+        afeInsertMarker()
+        framesetOk = false
+
+      case "table" =>
+        if (document.quirksMode != "quirks" && hasInButtonScope("p")) closePElement()
+        insertElement(tag, Ns.Html)
+        framesetOk = false
+        mode = InTable
+
+      case "area" | "br" | "embed" | "img" | "keygen" | "wbr" =>
+        reconstructActiveFormattingElements()
+        appendElement(tag, Ns.Html)
+        tag.ackSelfClosing = true
+        framesetOk = false
+
+      case "input" =>
+        reconstructActiveFormattingElements()
+        appendElement(tag, Ns.Html)
+        tag.ackSelfClosing = true
+        val ty = tag.attr("type")
+        if (ty == null || !ty.equalsIgnoreCase("hidden")) framesetOk = false
+
+      case "param" | "source" | "track" =>
+        appendElement(tag, Ns.Html)
+        tag.ackSelfClosing = true
+
+      case "hr" =>
+        closePIfInButtonScope()
+        appendElement(tag, Ns.Html)
+        tag.ackSelfClosing = true
+        framesetOk = false
+
+      case "image" =>
+        err("image-start-tag", tag.start, tag.end)
+        tag.name = "img"
+        startTagInBody(tag)
+
+      case "textarea" =>
+        insertElement(tag, Ns.Html)
+        ignoreNextLf = true
+        tokenizer.state = TokenizerState.Rcdata
+        originalMode = mode
+        framesetOk = false
+        mode = Text
+
+      case "xmp" =>
+        closePIfInButtonScope()
+        reconstructActiveFormattingElements()
+        framesetOk = false
+        switchToTextParsing(tag, TokenizerState.Rawtext)
+
+      case "iframe" =>
+        framesetOk = false
+        switchToTextParsing(tag, TokenizerState.Rawtext)
+
+      case "noembed" =>
+        switchToTextParsing(tag, TokenizerState.Rawtext)
+
+      case "noscript" if scriptingEnabled =>
+        switchToTextParsing(tag, TokenizerState.Rawtext)
+
+      case "select" =>
+        reconstructActiveFormattingElements()
+        insertElement(tag, Ns.Html)
+        framesetOk = false
+        mode =
+          if (mode == InTable || mode == InCaption || mode == InTableBody ||
+            mode == InRow || mode == InCell) InSelectInTable
+          else InSelect
+
+      case "optgroup" | "option" =>
+        if (current.namespace == Ns.Html && current.tagName == "option") pop()
+        reconstructActiveFormattingElements()
+        insertElement(tag, Ns.Html)
+
+      case "rb" | "rtc" =>
+        if (hasInScope("ruby")) {
+          generateImpliedEndTags(null)
+          if (!(current.namespace == Ns.Html && current.tagName == "ruby"))
+            err("unexpected-start-tag-in-ruby", tag.start, tag.end)
+        }
+        insertElement(tag, Ns.Html)
+
+      case "rp" | "rt" =>
+        if (hasInScope("ruby")) {
+          generateImpliedEndTags("rtc")
+          if (!(current.namespace == Ns.Html &&
+            (current.tagName == "ruby" || current.tagName == "rtc")))
+            err("unexpected-start-tag-in-ruby", tag.start, tag.end)
+        }
+        insertElement(tag, Ns.Html)
+
+      case "math" =>
+        reconstructActiveFormattingElements()
+        adjustMathMlAttrs(tag)
+        adjustForeignAttrs(tag)
+        insertForeignElement(tag, Ns.MathMl)
+
+      case "svg" =>
+        reconstructActiveFormattingElements()
+        adjustSvgAttrs(tag)
+        adjustForeignAttrs(tag)
+        insertForeignElement(tag, Ns.Svg)
+
+      case "caption" | "col" | "colgroup" | "frame" | "head" | "tbody" | "td" |
+          "tfoot" | "th" | "thead" | "tr" =>
+        err("unexpected-start-tag-ignored", tag.start, tag.end)
+
+      case _ =>
+        reconstructActiveFormattingElements()
+        insertElement(tag, Ns.Html)
+    }
+  }
+
+  private def insertForeignElement(tag: TagToken, ns: Int): Unit = {
+    val el = createElement(tag, ns)
+    if (ns == Ns.Svg)
+      HtmlMeta.SvgTagAdjust.get(el.tagName).foreach(el.tagName = _)
+    insertNodeAt(insertionLocation(null), el)
+    if (tag.selfClosing) {
+      if (captureSpans) el.endOffset = tag.end
+      tag.ackSelfClosing = true
+    } else push(el)
+  }
+
+  // ------------------------------------------------------------------
+  // end tags
+  private def processEndTag(tag: TagToken): Unit = {
+    if (mode == InTableText) {
+      flushTableText()
+      mode = originalMode
+    }
+    mode match {
+      case Initial =>
+        document.quirksMode = "quirks"
+        mode = BeforeHtml
+        processEndTag(tag)
+      case BeforeHtml =>
+        tag.name match {
+          case "head" | "body" | "html" | "br" =>
+            insertHtmlRoot()
+            mode = BeforeHead
+            processEndTag(tag)
+          case _ => err("unexpected-end-tag", tag.start, tag.end)
+        }
+      case BeforeHead =>
+        tag.name match {
+          case "head" | "body" | "html" | "br" =>
+            headElement = insertFakeElement("head")
+            mode = InHead
+            processEndTag(tag)
+          case _ => err("unexpected-end-tag", tag.start, tag.end)
+        }
+      case InHead =>
+        tag.name match {
+          case "head" =>
+            pop()
+            mode = AfterHead
+          case "body" | "html" | "br" =>
+            pop()
+            mode = AfterHead
+            processEndTag(tag)
+          case "template" => endTagTemplate(tag)
+          case _          => err("unexpected-end-tag", tag.start, tag.end)
+        }
+      case InHeadNoscript =>
+        tag.name match {
+          case "noscript" =>
+            pop()
+            mode = InHead
+          case "br" =>
+            err("unexpected-end-tag-in-noscript", tag.start, tag.end)
+            pop()
+            mode = InHead
+            processEndTag(tag)
+          case _ => err("unexpected-end-tag", tag.start, tag.end)
+        }
+      case AfterHead =>
+        tag.name match {
+          case "body" | "html" | "br" =>
+            insertFakeElement("body")
+            mode = InBody
+            processEndTag(tag)
+          case "template" => endTagTemplate(tag)
+          case _          => err("unexpected-end-tag", tag.start, tag.end)
+        }
+      case InBody => endTagInBody(tag)
+      case Text =>
+        pop()
+        mode = originalMode
+      case InTable => endTagInTable(tag)
+      case InCaption =>
+        tag.name match {
+          case "caption" =>
+            if (hasInTableScope("caption")) closeCaption()
+            else err("unexpected-end-tag", tag.start, tag.end)
+          case "table" =>
+            if (hasInTableScope("caption")) {
+              closeCaption()
+              processEndTag(tag)
+            } else err("unexpected-end-tag", tag.start, tag.end)
+          case "body" | "col" | "colgroup" | "html" | "tbody" | "td" | "tfoot" |
+              "th" | "thead" | "tr" =>
+            err("unexpected-end-tag", tag.start, tag.end)
+          case _ => endTagInBody(tag)
+        }
+      case InColumnGroup =>
+        tag.name match {
+          case "colgroup" =>
+            if (current.namespace == Ns.Html && current.tagName == "colgroup") {
+              pop()
+              mode = InTable
+            } else err("unexpected-end-tag", tag.start, tag.end)
+          case "col" =>
+            err("unexpected-end-tag", tag.start, tag.end)
+          case "template" => endTagTemplate(tag)
+          case _ =>
+            if (current.namespace == Ns.Html && current.tagName == "colgroup") {
+              pop()
+              mode = InTable
+              processEndTag(tag)
+            } else err("unexpected-end-tag", tag.start, tag.end)
+        }
+      case InTableBody =>
+        tag.name match {
+          case "tbody" | "tfoot" | "thead" =>
+            if (hasInTableScope(tag.name)) {
+              clearStackBackToTableBodyContext()
+              pop()
+              mode = InTable
+            } else err("unexpected-end-tag", tag.start, tag.end)
+          case "table" =>
+            if (hasAnyInTableScope(Set("tbody", "thead", "tfoot"))) {
+              clearStackBackToTableBodyContext()
+              pop()
+              mode = InTable
+              processEndTag(tag)
+            } else err("unexpected-end-tag", tag.start, tag.end)
+          case "body" | "caption" | "col" | "colgroup" | "html" | "td" | "th" |
+              "tr" =>
+            err("unexpected-end-tag", tag.start, tag.end)
+          case _ => endTagInTable(tag)
+        }
+      case InRow =>
+        tag.name match {
+          case "tr" =>
+            if (hasInTableScope("tr")) {
+              clearStackBackToTableRowContext()
+              pop()
+              mode = InTableBody
+            } else err("unexpected-end-tag", tag.start, tag.end)
+          case "table" =>
+            if (hasInTableScope("tr")) {
+              clearStackBackToTableRowContext()
+              pop()
+              mode = InTableBody
+              processEndTag(tag)
+            } else err("unexpected-end-tag", tag.start, tag.end)
+          case "tbody" | "tfoot" | "thead" =>
+            if (hasInTableScope(tag.name)) {
+              if (hasInTableScope("tr")) {
+                clearStackBackToTableRowContext()
+                pop()
+                mode = InTableBody
+                processEndTag(tag)
+              }
+            } else err("unexpected-end-tag", tag.start, tag.end)
+          case "body" | "caption" | "col" | "colgroup" | "html" | "td" | "th" =>
+            err("unexpected-end-tag", tag.start, tag.end)
+          case _ => endTagInTable(tag)
+        }
+      case InCell =>
+        tag.name match {
+          case "td" | "th" =>
+            if (hasInTableScope(tag.name)) {
+              generateImpliedEndTags(null)
+              if (!(current.namespace == Ns.Html && current.tagName == tag.name))
+                err("unclosed-elements-in-cell", tag.start, tag.end)
+              popUntilPopped(tag.name)
+              afeClearToLastMarker()
+              mode = InRow
+            } else err("unexpected-end-tag", tag.start, tag.end)
+          case "body" | "caption" | "col" | "colgroup" | "html" =>
+            err("unexpected-end-tag", tag.start, tag.end)
+          case "table" | "tbody" | "tfoot" | "thead" | "tr" =>
+            if (hasInTableScope(tag.name)) {
+              closeCell()
+              processEndTag(tag)
+            } else err("unexpected-end-tag", tag.start, tag.end)
+          case _ => endTagInBody(tag)
+        }
+      case InSelect => endTagInSelect(tag)
+      case InSelectInTable =>
+        tag.name match {
+          case "caption" | "table" | "tbody" | "tfoot" | "thead" | "tr" | "td" |
+              "th" =>
+            err("unexpected-table-end-tag-in-select", tag.start, tag.end)
+            if (hasInTableScope(tag.name)) {
+              popUntilPopped("select")
+              resetInsertionMode()
+              processEndTag(tag)
+            }
+          case _ => endTagInSelect(tag)
+        }
+      case InTemplate =>
+        if (tag.name == "template") endTagTemplate(tag)
+        else err("unexpected-end-tag", tag.start, tag.end)
+      case AfterBody =>
+        if (tag.name == "html") {
+          if (fragmentContext != null)
+            err("unexpected-end-tag-after-body", tag.start, tag.end)
+          else mode = AfterAfterBody
+        } else {
+          err("unexpected-end-tag-after-body", tag.start, tag.end)
+          mode = InBody
+          processEndTag(tag)
+        }
+      case InFrameset =>
+        tag.name match {
+          case "frameset" =>
+            if (stack.length == 1) err("unexpected-frameset-end-tag", tag.start, tag.end)
+            else {
+              pop()
+              if (fragmentContext == null &&
+                !(current.namespace == Ns.Html && current.tagName == "frameset"))
+                mode = AfterFrameset
+            }
+          case _ => err("unexpected-end-tag", tag.start, tag.end)
+        }
+      case AfterFrameset =>
+        if (tag.name == "html") mode = AfterAfterFrameset
+        else err("unexpected-end-tag", tag.start, tag.end)
+      case AfterAfterBody =>
+        err("unexpected-end-tag", tag.start, tag.end)
+        mode = InBody
+        processEndTag(tag)
+      case AfterAfterFrameset =>
+        err("unexpected-end-tag", tag.start, tag.end)
+      case _ =>
+    }
+  }
+
+  private def endTagTemplate(tag: TagToken): Unit = {
+    if (!hasTemplateOnStack) {
+      err("unexpected-template-end-tag", tag.start, tag.end)
+      return
+    }
+    err("template-end-tag", tag.start, tag.end)
+    generateImpliedEndTagsThoroughly()
+    if (!(current.namespace == Ns.Html && current.tagName == "template"))
+      err("unclosed-elements", tag.start, tag.end)
+    popUntilPopped("template")
+    afeClearToLastMarker()
+    if (templateModes.nonEmpty) templateModes.remove(templateModes.length - 1)
+    resetInsertionMode()
+  }
+
+  private def endTagInTable(tag: TagToken): Unit = {
+    tag.name match {
+      case "table" =>
+        if (hasInTableScope("table")) {
+          popUntilPopped("table")
+          resetInsertionMode()
+        } else err("unexpected-end-tag", tag.start, tag.end)
+      case "body" | "caption" | "col" | "colgroup" | "html" | "tbody" | "td" |
+          "tfoot" | "th" | "thead" | "tr" =>
+        err("unexpected-end-tag", tag.start, tag.end)
+      case "template" => endTagTemplate(tag)
+      case _ =>
+        err("unexpected-end-tag-implies-foster-parenting", tag.start, tag.end)
+        fosterParenting = true
+        endTagInBody(tag)
+        fosterParenting = false
+    }
+  }
+
+  private def endTagInSelect(tag: TagToken): Unit = {
+    tag.name match {
+      case "optgroup" =>
+        if (current.namespace == Ns.Html && current.tagName == "option" &&
+          stack.length > 1 && stack(stack.length - 2).namespace == Ns.Html &&
+          stack(stack.length - 2).tagName == "optgroup") pop()
+        if (current.namespace == Ns.Html && current.tagName == "optgroup") pop()
+        else err("unexpected-end-tag-in-select", tag.start, tag.end)
+      case "option" =>
+        if (current.namespace == Ns.Html && current.tagName == "option") pop()
+        else err("unexpected-end-tag-in-select", tag.start, tag.end)
+      case "select" =>
+        if (hasInSelectScope("select")) {
+          popUntilPopped("select")
+          resetInsertionMode()
+        } else err("unexpected-end-tag-in-select", tag.start, tag.end)
+      case "template" => endTagTemplate(tag)
+      case _          => err("unexpected-end-tag-in-select", tag.start, tag.end)
+    }
+  }
+
+  private def endTagInBody(tag: TagToken): Unit = {
+    tag.name match {
+      case "template" => endTagTemplate(tag)
+      case "body" =>
+        if (!hasInScope("body")) err("unexpected-body-end-tag", tag.start, tag.end)
+        else mode = AfterBody
+      case "html" =>
+        if (!hasInScope("body")) err("unexpected-html-end-tag", tag.start, tag.end)
+        else {
+          mode = AfterBody
+          processEndTag(tag)
+        }
+      case "address" | "article" | "aside" | "blockquote" | "button" |
+          "center" | "details" | "dialog" | "dir" | "div" | "dl" | "fieldset" |
+          "figcaption" | "figure" | "footer" | "header" | "hgroup" | "listing" |
+          "main" | "menu" | "nav" | "ol" | "pre" | "section" | "summary" | "ul" =>
+        if (!hasInScope(tag.name)) err("unexpected-end-tag", tag.start, tag.end)
+        else {
+          generateImpliedEndTags(null)
+          if (!(current.namespace == Ns.Html && current.tagName == tag.name))
+            err("unclosed-elements", tag.start, tag.end)
+          popUntilPopped(tag.name)
+        }
+      case "form" =>
+        if (!hasTemplateOnStack) {
+          val node = formElement
+          formElement = null
+          if (node == null || !hasElementInScope(node)) {
+            err("unexpected-form-end-tag", tag.start, tag.end)
+            return
+          }
+          generateImpliedEndTags(null)
+          if (!(current eq node)) err("unclosed-elements", tag.start, tag.end)
+          removeFromStack(node)
+        } else {
+          if (!hasInScope("form")) {
+            err("unexpected-form-end-tag", tag.start, tag.end)
+            return
+          }
+          generateImpliedEndTags(null)
+          if (!(current.namespace == Ns.Html && current.tagName == "form"))
+            err("unclosed-elements", tag.start, tag.end)
+          popUntilPopped("form")
+        }
+      case "p" =>
+        if (!hasInButtonScope("p")) {
+          err("unexpected-p-end-tag", tag.start, tag.end)
+          insertFakeElement("p")
+        }
+        closePElement()
+      case "li" =>
+        if (!hasInListItemScope("li")) err("unexpected-li-end-tag", tag.start, tag.end)
+        else {
+          generateImpliedEndTags("li")
+          if (!(current.namespace == Ns.Html && current.tagName == "li"))
+            err("unclosed-elements", tag.start, tag.end)
+          popUntilPopped("li")
+        }
+      case "dd" | "dt" =>
+        if (!hasInScope(tag.name)) err("unexpected-end-tag", tag.start, tag.end)
+        else {
+          generateImpliedEndTags(tag.name)
+          if (!(current.namespace == Ns.Html && current.tagName == tag.name))
+            err("unclosed-elements", tag.start, tag.end)
+          popUntilPopped(tag.name)
+        }
+      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+        if (!hasAnyInScope(HtmlMeta.Headings))
+          err("unexpected-heading-end-tag", tag.start, tag.end)
+        else {
+          generateImpliedEndTags(null)
+          if (!(current.namespace == Ns.Html && current.tagName == tag.name))
+            err("unclosed-elements", tag.start, tag.end)
+          popUntilOneOfPopped(HtmlMeta.Headings)
+        }
+      case "a" | "b" | "big" | "code" | "em" | "font" | "i" | "nobr" | "s" |
+          "small" | "strike" | "strong" | "tt" | "u" =>
+        adoptionAgency(tag.name)
+      case "applet" | "marquee" | "object" =>
+        if (!hasInScope(tag.name)) err("unexpected-end-tag", tag.start, tag.end)
+        else {
+          generateImpliedEndTags(null)
+          if (!(current.namespace == Ns.Html && current.tagName == tag.name))
+            err("unclosed-elements", tag.start, tag.end)
+          popUntilPopped(tag.name)
+          afeClearToLastMarker()
+        }
+      case "br" =>
+        err("unexpected-br-end-tag", tag.start, tag.end)
+        reconstructActiveFormattingElements()
+        insertFakeElement("br")
+        pop()
+        framesetOk = false
+      case _ =>
+        anyOtherEndTagInBody(tag.name)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // foreign content (spec §13.2.6.5)
+  private def foreignStartTag(tag: TagToken): Unit = {
+    if (HtmlMeta.causesForeignExit(tag)) {
+      err("unexpected-html-element-in-foreign-content", tag.start, tag.end)
+      while ({
+        val acn = current
+        !(acn.namespace == Ns.Html ||
+          HtmlMeta.isMathMlTextIntegrationPoint(acn) ||
+          HtmlMeta.isHtmlIntegrationPoint(acn))
+      }) pop()
+      processStartTag(tag)
+    } else {
+      val acn = adjustedCurrentNode
+      val ns = acn.namespace
+      if (ns == Ns.MathMl) adjustMathMlAttrs(tag)
+      else if (ns == Ns.Svg) {
+        HtmlMeta.SvgTagAdjust.get(tag.name).foreach(tag.name = _)
+        adjustSvgAttrs(tag)
+      }
+      adjustForeignAttrs(tag)
+      val el = new DomElement(tag.name, ns)
+      if (ns == Ns.Svg) HtmlMeta.SvgTagAdjust.get(el.tagName).foreach(el.tagName = _)
+      var i = 0
+      while (i < tag.attrs.length) {
+        val a = tag.attrs(i)
+        el.attrs += new DomAttr(a.name, a.value, a.start, a.end)
+        i += 1
+      }
+      if (captureSpans) {
+        el.startOffset = tag.start
+        el.startTagEnd = tag.end
+      }
+      insertNodeAt(insertionLocation(null), el)
+      if (tag.selfClosing) {
+        if (captureSpans) el.endOffset = tag.end
+        tag.ackSelfClosing = true
+      } else push(el)
+    }
+  }
+
+  private def foreignEndTag(tag: TagToken): Unit = {
+    var i = stack.length - 1
+    if (i >= 0 && stack(i).tagName.toLowerCase != tag.name)
+      err("unexpected-end-tag", tag.start, tag.end)
+    var done = false
+    while (i >= 0 && !done) {
+      val node = stack(i)
+      if (i == 0) { done = true }
+      else if (node.tagName.toLowerCase == tag.name) {
+        popUntilElementPopped(node)
+        done = true
+      } else {
+        val below = stack(i - 1)
+        if (below.namespace == Ns.Html) {
+          // process per the current insertion mode
+          processEndTag(tag)
+          done = true
+        }
+        i -= 1
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // entry points
+  /** Parse a complete document. */
+  def parseDocument(): DomDocument = {
+    tokenizer = new Tokenizer(input, this)
+    tokenizer.run()
+    document
+  }
+
+  /** Parse a fragment in the given context tag (HTML namespace). The
+    * context element is fabricated; spec §13.4.
+    */
+  def parseFragment(contextTagName: String): DomElement = {
+    fragmentContext = createFakeElement(contextTagName)
+    tokenizer = new Tokenizer(input, this)
+    contextTagName match {
+      case "title" | "textarea" =>
+        tokenizer.state = TokenizerState.Rcdata
+      case "style" | "xmp" | "iframe" | "noembed" | "noframes" =>
+        tokenizer.state = TokenizerState.Rawtext
+      case "script" =>
+        tokenizer.state = TokenizerState.ScriptData
+      case "noscript" =>
+        if (scriptingEnabled) tokenizer.state = TokenizerState.Rawtext
+      case "plaintext" =>
+        tokenizer.state = TokenizerState.Plaintext
+      case _ =>
+    }
+    tokenizer.lastStartTagName = contextTagName
+    val root = createFakeElement("html")
+    fragmentRoot = root
+    document.appendChild(root)
+    push(root)
+    if (contextTagName == "template") templateModes += InTemplate
+    mode = Initial
+    resetInsertionModeForFragment()
+    tokenizer.run()
+    root
+  }
+
+  private def resetInsertionModeForFragment(): Unit = {
+    resetInsertionMode()
+    if (mode == Initial || mode == BeforeHtml) mode = BeforeHead
+  }
+}

@@ -1,0 +1,421 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Visible-text extraction: tree -> normalized human-visible text, plus the
+  * token and provenance variants. This is the per-turn extraction operator
+  * of the pipeline (north rule) and a byte-exact port of the reference's
+  * semantics (reference: src/public/mod.ts:1130-1667):
+  *
+  *  - skip tags head/script/style/template/title/optgroup/option and all
+  *    `select` subtrees (mod.ts:1002,1312-1314);
+  *  - hidden subtrees: `hidden` attr, inline display:none /
+  *    visibility:hidden / content-visibility:hidden, truthy aria-hidden
+  *    (mod.ts:1076-1098);
+  *  - structural breaks: <br> -> \n, <p> -> leading \n + trailing \n\n,
+  *    29 block tags -> \n on both sides, <tr> rows with \t-joined cells
+  *    (mod.ts:1269,1329-1348,1358-1370);
+  *  - control values: img[alt], input[type∈{button,submit,reset}][value],
+  *    button[value], opt-in input[aria-label] fallback;
+  *  - noscript with a single markup-bearing text child re-parses as a body
+  *    fragment (mod.ts:1201-1231);
+  *  - two-phase whitespace normalization: per-segment collapse (unless
+  *    inside pre/textarea) then global output normalization (mod.ts:1042-1056,
+  *    1130-1141).
+  */
+object VisibleText {
+
+  private val SkipTags =
+    Set("head", "script", "style", "template", "title", "optgroup", "option")
+  private val InputValueTypes = Set("button", "submit", "reset")
+  private val BlockBreakTags = Set(
+    "address", "article", "aside", "blockquote", "div", "dl", "fieldset",
+    "figcaption", "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5",
+    "h6", "header", "li", "main", "nav", "ol", "section", "table", "tbody",
+    "thead", "tfoot", "ul"
+  )
+
+  // ---- source chunk bookkeeping for the provenance variant ----
+  private final case class SourceMeta(nodeId: Int, nodeKind: String, role: String)
+  private val DefaultSource = SourceMeta(-1, "document", "text-node")
+  private final case class SourceChunk(value: String, meta: SourceMeta)
+  private final case class SourceChar(char: Char, meta: SourceMeta)
+
+  private def normalizeNewlines(value: String): String =
+    value.replace("\r\n", "\n").replace('\r', '\n')
+
+  private def collapseAsciiWhitespace(value: String): String =
+    value.replaceAll("[ \\t\\n\\f\\r]+", " ")
+
+  private def normalizeSegment(value: String, preserveWhitespace: Boolean): String = {
+    val normalized = normalizeNewlines(value)
+    if (preserveWhitespace) normalized else collapseAsciiWhitespace(normalized)
+  }
+
+  private def normalizeBooleanAttribute(value: Option[String]): Boolean =
+    value.exists { v =>
+      val normalized = v.trim.toLowerCase
+      normalized.isEmpty || normalized == "true" || normalized == "1"
+    }
+
+  private def shouldSkipHiddenSubtree(node: ElementNode, options: VisibleTextOptions): Boolean = {
+    if (!options.skipHiddenSubtrees) return false
+    if (node.attr("hidden").isDefined) return true
+    node.attr("style") match {
+      case Some(style) if style.nonEmpty =>
+        val normalized = style.toLowerCase.replaceAll("\\s+", "")
+        if (normalized.contains("display:none") ||
+          normalized.contains("visibility:hidden") ||
+          normalized.contains("content-visibility:hidden")) return true
+      case _ =>
+    }
+    normalizeBooleanAttribute(node.attr("aria-hidden"))
+  }
+
+  private def nonEmptyAttr(node: ElementNode, name: String): Option[String] =
+    node.attr(name).map(_.trim).filter(_.nonEmpty)
+
+  private def accessibleNameFallback(node: ElementNode, options: VisibleTextOptions): Option[String] = {
+    if (!options.includeAccessibleNameFallback) return None
+    if (node.tagName.toLowerCase != "input") return None
+    val ty = node.attr("type").getOrElse("text").trim.toLowerCase
+    if (ty == "hidden") return None
+    nonEmptyAttr(node, "aria-label")
+  }
+
+  /** Global output normalization (reference: mod.ts:1130-1141). */
+  def normalizeOutput(value: String, trim: Boolean): String = {
+    var output = normalizeNewlines(value)
+    output = output.replaceAll("[ \\t\\f]+\\n", "\n")
+    output = output.replaceAll("\\n[ \\t\\f]+", "\n")
+    output = output.replaceAll("\\n{3,}", "\n\n")
+    output = output.replaceAll("[ ]{2,}", " ")
+    output = output.replaceAll("\\t{2,}", "\t")
+    if (trim) output.trim else output
+  }
+
+  private final class Collector(options: VisibleTextOptions, withChunks: Boolean) {
+    val parts = new java.lang.StringBuilder
+    val chunks: ArrayBuffer[SourceChunk] = if (withChunks) new ArrayBuffer else null
+
+    def append(value: String, meta: SourceMeta): Unit = {
+      if (value.isEmpty) return
+      parts.append(value)
+      if (chunks != null) chunks += SourceChunk(value, meta)
+    }
+
+    private def metaOf(node: HtmlNode, role: String): SourceMeta =
+      SourceMeta(node.id, node.kind, role)
+
+    private def roleOr(over: String, dflt: String): String =
+      if (over != null) over else dflt
+
+    def collectNoscript(node: ElementNode, preserveWs: Boolean, roleOverride: String): Boolean = {
+      if (node.tagName.toLowerCase != "noscript") return false
+      if (node.children.length != 1) return false
+      node.children(0) match {
+        case t: TextNode =>
+          val raw = t.value
+          if (!raw.contains("<") || !raw.contains(">")) return false
+          val fragment = HtmlParser.parseFragment(raw, "body")
+          fragment.children.foreach(c => collect(c, preserveWs, "noscript-fallback"))
+          true
+        case _ => false
+      }
+    }
+
+    def collect(node: HtmlNode, preserveWs: Boolean, roleOverride: String): Unit = node match {
+      case t: TextNode =>
+        append(
+          normalizeSegment(t.value, preserveWs),
+          metaOf(t, roleOr(roleOverride, "text-node"))
+        )
+      case el: ElementNode =>
+        if (shouldSkipHiddenSubtree(el, options)) return
+        val tagName = el.tagName.toLowerCase
+        val fallbackName = accessibleNameFallback(el, options)
+        if (SkipTags.contains(tagName)) return
+        if (collectNoscript(el, preserveWs, roleOverride)) return
+
+        if (tagName == "br") {
+          append("\n", metaOf(el, roleOr(roleOverride, "structure-break")))
+          return
+        }
+
+        if (tagName == "img" && options.includeControlValues) {
+          el.attr("alt").filter(_.nonEmpty).foreach { alt =>
+            append(
+              normalizeSegment(alt, preserveWhitespace = false),
+              metaOf(el, roleOr(roleOverride, "img-alt"))
+            )
+          }
+          return
+        }
+
+        if (tagName == "input" && options.includeControlValues) {
+          val ty = el.attr("type").getOrElse("text").toLowerCase
+          if (ty != "hidden") {
+            val value = el.attr("value")
+            if (InputValueTypes.contains(ty) && value.exists(_.nonEmpty)) {
+              append(
+                normalizeSegment(value.get, preserveWhitespace = false),
+                metaOf(el, roleOr(roleOverride, "input-value"))
+              )
+              return
+            }
+            fallbackName.foreach { fn =>
+              append(
+                normalizeSegment(fn, preserveWhitespace = false),
+                metaOf(el, roleOr(roleOverride, "input-aria-label"))
+              )
+            }
+          }
+          return
+        }
+
+        if (tagName == "select") return
+
+        if (tagName == "button" && options.includeControlValues) {
+          val value = el.attr("value")
+          if (value.exists(_.nonEmpty)) {
+            append(
+              normalizeSegment(value.get, preserveWhitespace = false),
+              metaOf(el, roleOr(roleOverride, "button-value"))
+            )
+            return
+          }
+        }
+
+        if (tagName == "tr") {
+          append("\n", metaOf(el, roleOr(roleOverride, "structure-break")))
+          var seenTableCell = false
+          el.children.foreach {
+            case child: ElementNode
+                if child.tagName.toLowerCase == "td" || child.tagName.toLowerCase == "th" =>
+              if (seenTableCell)
+                append("\t", metaOf(el, roleOr(roleOverride, "structure-break")))
+              collect(child, preserveWs, roleOverride)
+              seenTableCell = true
+            case child =>
+              collect(child, preserveWs, roleOverride)
+          }
+          append("\n", metaOf(el, roleOr(roleOverride, "structure-break")))
+          return
+        }
+
+        if (tagName == "td" || tagName == "th") {
+          el.children.foreach(c => collect(c, preserveWs, roleOverride))
+          return
+        }
+
+        val childPreserveWs = preserveWs || tagName == "pre" || tagName == "textarea"
+        val blockBreakBefore = tagName == "p" || BlockBreakTags.contains(tagName)
+        if (blockBreakBefore)
+          append("\n", metaOf(el, roleOr(roleOverride, "structure-break")))
+        el.children.foreach(c => collect(c, childPreserveWs, roleOverride))
+        if (tagName == "p") {
+          append("\n\n", metaOf(el, roleOr(roleOverride, "structure-break")))
+          return
+        }
+        if (blockBreakBefore)
+          append("\n", metaOf(el, roleOr(roleOverride, "structure-break")))
+      case _ => // comments / doctypes contribute nothing
+    }
+  }
+
+  private def collectFrom(
+      children: Vector[HtmlNode],
+      options: VisibleTextOptions,
+      withChunks: Boolean
+  ): Collector = {
+    val c = new Collector(options, withChunks)
+    children.foreach(n => c.collect(n, preserveWs = false, roleOverride = null))
+    c
+  }
+
+  // ------------------------------------------------------------------
+  def ofDocument(tree: DocumentTree, options: VisibleTextOptions = VisibleTextOptions()): String =
+    normalizeOutput(collectFrom(tree.children, options, withChunks = false).parts.toString, options.trim)
+
+  def ofFragment(tree: FragmentTree, options: VisibleTextOptions = VisibleTextOptions()): String =
+    normalizeOutput(collectFrom(tree.children, options, withChunks = false).parts.toString, options.trim)
+
+  def ofNode(node: HtmlNode, options: VisibleTextOptions = VisibleTextOptions()): String = {
+    val c = new Collector(options, withChunks = false)
+    c.collect(node, preserveWs = false, roleOverride = null)
+    normalizeOutput(c.parts.toString, options.trim)
+  }
+
+  /** Tokenize normalized visible text into text/lineBreak/paragraphBreak/tab
+    * tokens (reference: mod.ts:1565-1610).
+    */
+  def tokenize(value: String): Vector[VisibleTextToken] = {
+    val tokens = Vector.newBuilder[VisibleTextToken]
+    val active = new java.lang.StringBuilder
+    def flush(): Unit =
+      if (active.length > 0) {
+        tokens += VisibleTextToken("text", active.toString)
+        active.setLength(0)
+      }
+    var cursor = 0
+    while (cursor < value.length) {
+      val char = value.charAt(cursor)
+      if (char == '\n' && cursor + 1 < value.length && value.charAt(cursor + 1) == '\n') {
+        flush()
+        tokens += VisibleTextToken("paragraphBreak", "\n\n")
+        cursor += 2
+      } else if (char == '\n') {
+        flush()
+        tokens += VisibleTextToken("lineBreak", "\n")
+        cursor += 1
+      } else if (char == '\t') {
+        flush()
+        tokens += VisibleTextToken("tab", "\t")
+        cursor += 1
+      } else {
+        active.append(char)
+        cursor += 1
+      }
+    }
+    flush()
+    tokens.result()
+  }
+
+  def tokensOfDocument(
+      tree: DocumentTree,
+      options: VisibleTextOptions = VisibleTextOptions()
+  ): Vector[VisibleTextToken] = tokenize(ofDocument(tree, options))
+
+  def tokensOfFragment(
+      tree: FragmentTree,
+      options: VisibleTextOptions = VisibleTextOptions()
+  ): Vector[VisibleTextToken] = tokenize(ofFragment(tree, options))
+
+  // ------------------------------------------------------------------
+  // provenance variant (reference: mod.ts:1638-1667): a parallel char-level
+  // normalization pipeline with a consistency check + degraded fallback.
+  private def chunksToChars(chunks: ArrayBuffer[SourceChunk]): ArrayBuffer[SourceChar] = {
+    val out = new ArrayBuffer[SourceChar](chunks.map(_.value.length).sum)
+    chunks.foreach { chunk =>
+      var i = 0
+      while (i < chunk.value.length) {
+        out += SourceChar(chunk.value.charAt(i), chunk.meta)
+        i += 1
+      }
+    }
+    out
+  }
+
+  private def isSpaceTabFf(c: Char): Boolean = c == ' ' || c == '\t' || c == '\f'
+
+  private def collapseRuns(
+      chars: ArrayBuffer[SourceChar],
+      predicate: Char => Boolean,
+      limit: Int
+  ): ArrayBuffer[SourceChar] = {
+    val result = new ArrayBuffer[SourceChar](chars.length)
+    var runCount = 0
+    chars.foreach { entry =>
+      if (predicate(entry.char)) {
+        runCount += 1
+        if (runCount <= limit) result += entry
+      } else {
+        runCount = 0
+        result += entry
+      }
+    }
+    result
+  }
+
+  private def normalizeSourceChars(
+      chars: ArrayBuffer[SourceChar],
+      trim: Boolean
+  ): ArrayBuffer[SourceChar] = {
+    // strip space/tab/ff before newlines
+    val beforeNl = new ArrayBuffer[SourceChar](chars.length)
+    chars.foreach { entry =>
+      if (entry.char == '\n') {
+        while (beforeNl.nonEmpty && isSpaceTabFf(beforeNl(beforeNl.length - 1).char))
+          beforeNl.remove(beforeNl.length - 1)
+      }
+      beforeNl += entry
+    }
+    // strip space/tab/ff after newlines
+    val afterNl = new ArrayBuffer[SourceChar](beforeNl.length)
+    beforeNl.foreach { entry =>
+      val prev = if (afterNl.nonEmpty) afterNl(afterNl.length - 1) else null
+      if (!(prev != null && prev.char == '\n' && isSpaceTabFf(entry.char)))
+        afterNl += entry
+    }
+    val collapsed = collapseRuns(
+      collapseRuns(collapseRuns(afterNl, _ == '\n', 2), _ == ' ', 1),
+      _ == '\t', 1
+    )
+    if (!trim || collapsed.isEmpty) return collapsed
+    var start = 0
+    var end = collapsed.length
+    while (start < end && Character.isWhitespace(collapsed(start).char)) start += 1
+    while (end > start && Character.isWhitespace(collapsed(end - 1).char)) end -= 1
+    collapsed.slice(start, end)
+  }
+
+  private def provTok(kind: String, value: String, m: SourceMeta): VisibleTextTokenWithProvenance =
+    VisibleTextTokenWithProvenance(
+      kind, value,
+      if (m.nodeId >= 0) Some(m.nodeId) else None,
+      m.nodeKind, m.role
+    )
+
+  private def tokenizeWithChars(chars: ArrayBuffer[SourceChar]): Vector[VisibleTextTokenWithProvenance] = {
+    val tokens = Vector.newBuilder[VisibleTextTokenWithProvenance]
+    var cursor = 0
+    while (cursor < chars.length) {
+      val cur = chars(cursor)
+      if (cur.char == '\n' && cursor + 1 < chars.length && chars(cursor + 1).char == '\n') {
+        tokens += provTok("paragraphBreak", "\n\n", cur.meta)
+        cursor += 2
+      } else if (cur.char == '\n') {
+        tokens += provTok("lineBreak", "\n", cur.meta)
+        cursor += 1
+      } else if (cur.char == '\t') {
+        tokens += provTok("tab", "\t", cur.meta)
+        cursor += 1
+      } else {
+        val sb = new java.lang.StringBuilder
+        val source = cur.meta
+        var break = false
+        while (!break && cursor < chars.length) {
+          val entry = chars(cursor)
+          if (entry.char == '\n' || entry.char == '\t' || entry.meta != source) break = true
+          else {
+            sb.append(entry.char)
+            cursor += 1
+          }
+        }
+        tokens += provTok("text", sb.toString, source)
+      }
+    }
+    tokens.result()
+  }
+
+  def tokensWithProvenance(
+      children: Vector[HtmlNode],
+      options: VisibleTextOptions = VisibleTextOptions()
+  ): Vector[VisibleTextTokenWithProvenance] = {
+    val collector = collectFrom(children, options, withChunks = true)
+    val output = normalizeOutput(collector.parts.toString, options.trim)
+    val normalizedChars = normalizeSourceChars(chunksToChars(collector.chunks), options.trim)
+    val normalizedOutput = {
+      val sb = new java.lang.StringBuilder(normalizedChars.length)
+      normalizedChars.foreach(c => sb.append(c.char))
+      sb.toString
+    }
+    if (normalizedOutput != output) {
+      // degraded fallback: tokenize the string output without provenance
+      tokenize(output).map { t =>
+        val role = if (t.kind == "text") "text-node" else "structure-break"
+        VisibleTextTokenWithProvenance(t.kind, t.value, None, "document", role)
+      }
+    } else tokenizeWithChars(normalizedChars)
+  }
+}

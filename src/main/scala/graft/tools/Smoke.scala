@@ -1,0 +1,81 @@
+package graft.tools
+
+import graft.core._
+
+/** Manual end-to-end smoke driver for the core library public API.
+  * Run: sbt "runMain graft.tools.Smoke"
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    // 1. realistic messy document through the public API
+    val html = """<!DOCTYPE html><html><head><meta charset="utf-8"><title>My Page</title>
+    <style>body{color:red}</style></head><body>
+    <nav><ul><li><a href="/">Home</a></li><li hidden><a href="/x">Secret</a></li></ul></nav>
+    <article><h1>Caf&eacute; &amp; Friends</h1><p>First &para; of text with <b>bold <i>and</b> italic</i> misnesting.</p>
+    <table><tr><th>Name</th><th>Qty</th></tr><tr><td>Apples</td><td>3</td></tr></table>
+    <pre>  spaced
+      lines  </pre><img alt="A photo" src="x.jpg"><br><input type="submit" value="Send it">
+    <script>var x = "<p>not text</p>";</script><noscript><b>Enable JS</b></noscript>
+    </article></body></html>"""
+    val tree = HtmlParser.parse(html)
+    println("=== visibleText ===")
+    println(VisibleText.ofDocument(tree))
+    println("=== tokens (first 8) ===")
+    println(VisibleText.tokensOfDocument(tree).take(8))
+    println("=== provenance (first 5) ===")
+    println(VisibleText.tokensWithProvenance(tree.children).take(5))
+    println("=== errors: " + tree.errors.map(_.parseErrorId).mkString(","))
+    // 2. probes
+    println("=== unclosed/garbage ===")
+    println(VisibleText.ofDocument(HtmlParser.parse("<div><p>a<p>b<table><td>cell")))
+    println("=== entity legacy ===")
+    println(VisibleText.ofDocument(HtmlParser.parse("<p>&notin; &notx &amp=1 &#x48;&#105 &#xD83D;&#xDE00;</p>")))
+    println("=== CRLF ===")
+    println(VisibleText.ofDocument(HtmlParser.parse("<pre>a b\r\nc\rd</pre>")).replace("\n","[NL]"))
+    println("=== empty & whitespace only ===")
+    println("[" + VisibleText.ofDocument(HtmlParser.parse("")) + "]")
+    println("[" + VisibleText.ofDocument(HtmlParser.parse("   \n\t  ")) + "]")
+    println("=== serialize roundtrip ===")
+    val t2 = HtmlParser.parse("<p class=x data-y='2'>hi<br>there</p>")
+    val ser = Serializer.serialize(t2)
+    println(ser)
+    println("fixpoint: " + (Serializer.serialize(HtmlParser.parse(ser)) == ser))
+    println("=== spans ===")
+    val src = "<div id=\"main\">Hello</div>"
+    val sp = HtmlParser.parse(src, ParseOptions(captureSpans = true))
+    val div = Traversal.findAllByTagName(sp.children, "div").next()
+    println("div span=" + div.span + " slice=" + div.span.map(s => src.substring(s.start, s.end)))
+    println("=== patch ===")
+    val psrc = "<div id=\"a\">x</div>"
+    val ptree = HtmlParser.parse(psrc, ParseOptions(captureSpans = true))
+    Traversal.walk(ptree)((n, d) => println("  node id=" + n.id + " kind=" + n.kind))
+    val divId = Traversal.findAllByTagName(ptree.children, "div").next().id
+    val plan = Patch.computePatch(psrc, Seq(SetAttr(divId, "id", "b")))
+    println(plan.result)
+    println("=== parseBytes + sniff ===")
+    val bytes = "<html><head><meta charset=\"utf-8\"><body><p>café".getBytes("UTF-8")
+    println(VisibleText.ofDocument(HtmlParser.parseBytes(bytes)))
+    val win = Array[Byte]('<','p','>', 0xE9.toByte, '<','/','p','>')
+    println(VisibleText.ofDocument(HtmlParser.parseBytes(win)))
+    println("=== budgets ===")
+    try HtmlParser.parse("<div>" * 100, ParseOptions(budgets = Some(Budgets(maxNodes = Some(10)))))
+    catch { case e: BudgetExceededException => println("budget threw: " + e.getMessage) }
+    println("=== deep nesting (10k) on a 64MB-stack worker thread ===")
+    val deep = "<div>" * 10000 + "x" + "</div>" * 10000
+    @volatile var deepResult: String = null
+    @volatile var deepError: Throwable = null
+    val worker = new Thread(null, () => {
+      try deepResult = VisibleText.ofDocument(HtmlParser.parse(deep))
+      catch { case t: Throwable => deepError = t }
+    }, "graft-deep", 64L * 1024 * 1024)
+    worker.start(); worker.join()
+    println(if (deepError != null) "FAILED: " + deepError else "ok: [" + deepResult.take(5) + "]")
+    println("=== same on default stack (expected to overflow, caught) ===")
+    try println("unexpected ok: " + VisibleText.ofDocument(HtmlParser.parse(deep)).take(3))
+    catch { case _: StackOverflowError => println("StackOverflowError as expected -> pipeline must use big-stack worker threads") }
+    println("=== tokenize API ===")
+    println(TokenizeApi.tokenize("<a href=x>T</a>&copy").tokens)
+    println("DONE")
+
+  }
+}

@@ -1,0 +1,88 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+
+/** Golden-fixture extraction corpus: the per-turn text-equality oracle named
+  * in the north rule. Each case directory holds input.html / expected.txt /
+  * expected.tokens.json copied from the reference
+  * (reference: test/fixtures/visible-text/v1, harness
+  * test/control/visible-text.test.js:38-62 — trailing newline of
+  * expected.txt is stripped, results must be deterministic across reruns).
+  */
+class VisibleTextFixtureSpec extends AnyFunSuite {
+
+  private def resourceDir(name: String): Path = {
+    val url = getClass.getResource(s"/$name")
+    require(url != null, s"missing resource dir $name")
+    Paths.get(url.toURI)
+  }
+
+  private def readExpected(path: Path): String = {
+    val raw = new String(Files.readAllBytes(path), "UTF-8")
+    if (raw.endsWith("\n")) raw.substring(0, raw.length - 1) else raw
+  }
+
+  /** Minimal parser for the fixture token JSON: array of {kind, value}. */
+  private def parseTokensJson(raw: String): Vector[(String, String)] = {
+    val tokens = Vector.newBuilder[(String, String)]
+    val pattern = """(?s)\{\s*"kind"\s*:\s*"([^"]+)"\s*,\s*"value"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""".r
+    pattern.findAllMatchIn(raw).foreach { m =>
+      val value = m.group(2)
+        .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+      tokens += ((m.group(1), value))
+    }
+    tokens.result()
+  }
+
+  private def cases(dir: Path): Seq[Path] =
+    Files.list(dir).iterator.asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith("case-"))
+      .sortBy(_.getFileName.toString)
+
+  private val corpus = resourceDir("visible-text/v1")
+  private val fallbackCorpus = resourceDir("visible-text-fallback/v1")
+
+  test("corpus is present and non-trivial") {
+    assert(cases(corpus).size >= 100)
+    assert(cases(fallbackCorpus).size >= 10)
+  }
+
+  for (caseDir <- cases(corpus)) {
+    val name = caseDir.getFileName.toString
+    test(s"visible-text $name: exact text equality") {
+      val html = new String(Files.readAllBytes(caseDir.resolve("input.html")), "UTF-8")
+      val expected = readExpected(caseDir.resolve("expected.txt"))
+      val tree = HtmlParser.parse(html)
+      val actual = VisibleText.ofDocument(tree)
+      assert(actual == expected, s"\n--- expected ---\n$expected\n--- actual ---\n$actual")
+      // determinism: double run must be identical
+      assert(VisibleText.ofDocument(HtmlParser.parse(html)) == actual)
+    }
+
+    test(s"visible-text $name: token equality") {
+      val html = new String(Files.readAllBytes(caseDir.resolve("input.html")), "UTF-8")
+      val expectedTokens = parseTokensJson(
+        new String(Files.readAllBytes(caseDir.resolve("expected.tokens.json")), "UTF-8"))
+      val actual = VisibleText.tokensOfDocument(HtmlParser.parse(html))
+        .map(t => (t.kind, t.value))
+      assert(actual == expectedTokens)
+    }
+  }
+
+  for (caseDir <- cases(fallbackCorpus)) {
+    val name = caseDir.getFileName.toString
+    test(s"visible-text-fallback $name: default vs fallback") {
+      val html = new String(Files.readAllBytes(caseDir.resolve("input.html")), "UTF-8")
+      val expectedDefault = readExpected(caseDir.resolve("expected.default.txt"))
+      val expectedFallback = readExpected(caseDir.resolve("expected.fallback.txt"))
+      val tree = HtmlParser.parse(html)
+      assert(VisibleText.ofDocument(tree) == expectedDefault)
+      assert(
+        VisibleText.ofDocument(tree,
+          VisibleTextOptions(includeAccessibleNameFallback = true)) == expectedFallback)
+    }
+  }
+}
