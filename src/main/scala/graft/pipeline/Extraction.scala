@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import graft.core._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.LongAccumulator
+
+/** Per-turn extraction: the reference's `visibleText(parse(html))` +
+  * provenance-token spans, run distributed via typed `mapPartitions`.
+  *
+  * Design notes (scale):
+  *  - extraction is embarrassingly parallel — no shuffle is introduced here;
+  *    callers choose partitioning (`repartition(conv_id)` only when a
+  *    downstream per-conversation stage needs co-location);
+  *  - rows are processed in batches on a dedicated 64 MiB-stack worker
+  *    thread: the tree builder and the node converter recurse over the DOM
+  *    (reference recursion: src/internal/tree/build.ts:420-490), and
+  *    adversarial deeply-nested inputs overflow executor default stacks.
+  *    One thread per ~512-row batch amortizes thread start-up to noise;
+  *  - a poison document can never kill a task: budget violations and any
+  *    unexpected error land in the `budget_error` column (north rule:
+  *    per-row guard, reference budget semantics src/public/mod.ts:165-180).
+  */
+object Extraction {
+
+  /** Defensive per-row budgets for untrusted web-scale HTML. */
+  val DefaultBudgets: Budgets = Budgets(
+    maxInputBytes = Some(32 * 1024 * 1024),
+    maxNodes = Some(2 * 1024 * 1024),
+    maxDepth = Some(65536)
+  )
+
+  final case class Metrics(
+      turnsIn: LongAccumulator,
+      turnsOk: LongAccumulator,
+      turnsFailed: LongAccumulator,
+      parseErrors: LongAccumulator,
+      bytesIn: LongAccumulator,
+      bytesOut: LongAccumulator
+  )
+
+  object Metrics {
+    def register(spark: SparkSession): Metrics = {
+      val sc = spark.sparkContext
+      Metrics(
+        turnsIn = sc.longAccumulator("graft.extract.turnsIn"),
+        turnsOk = sc.longAccumulator("graft.extract.turnsOk"),
+        turnsFailed = sc.longAccumulator("graft.extract.turnsFailed"),
+        parseErrors = sc.longAccumulator("graft.extract.parseErrors"),
+        bytesIn = sc.longAccumulator("graft.extract.bytesIn"),
+        bytesOut = sc.longAccumulator("graft.extract.bytesOut")
+      )
+    }
+  }
+
+  private val BatchSize = 512
+  private val WorkerStackBytes = 64L * 1024 * 1024
+
+  /** Run `f` on a fresh thread with a deep stack; rethrow its failure. */
+  private def onBigStack[T](f: () => T): T = {
+    var out: Either[Throwable, T] = null
+    val th = new Thread(null, () => {
+      out = try Right(f()) catch { case t: Throwable => Left(t) }
+    }, "graft-extract", WorkerStackBytes)
+    th.setDaemon(true)
+    th.start()
+    th.join()
+    out match {
+      case Right(v) => v
+      case Left(t)  => throw t
+    }
+  }
+
+  /** Extract one turn. Total: never throws. */
+  def extractOne(t: TranscriptTurn, budgets: Budgets,
+                 options: VisibleTextOptions): ExtractedTurn = {
+    val html = if (t.text == null) "" else t.text
+    try {
+      val tree = HtmlParser.parse(html,
+        ParseOptions(captureSpans = true, budgets = Some(budgets)))
+      val text = VisibleText.ofDocument(tree, options)
+      // node id -> input span, for provenance-token char spans
+      val spanById = scala.collection.mutable.HashMap.empty[Int, Span]
+      Traversal.walk(tree) { (n, _) =>
+        if (n.spanProvenance == "input") n.span.foreach(spanById.put(n.id, _))
+      }
+      val spans = VisibleText.tokensWithProvenance(tree.children, options).map { tok =>
+        val sp = tok.sourceNodeId.flatMap(spanById.get)
+        TokenSpan(tok.kind, tok.value,
+          sp.map(_.start).getOrElse(-1), sp.map(_.end).getOrElse(-1),
+          tok.sourceNodeId.getOrElse(-1))
+      }
+      ExtractedTurn(t.conv_id, t.turn_idx, t.role, text, spans,
+        tree.errors.length,
+        tree.errors.headOption.map(_.parseErrorId).getOrElse(""),
+        "", html.length.toLong, text.length.toLong)
+    } catch {
+      case e: BudgetExceededException =>
+        ExtractedTurn(t.conv_id, t.turn_idx, t.role, "", Nil,
+          0, "", s"budget:${e.payload.budget}", html.length.toLong, 0L)
+      case e: Throwable =>
+        ExtractedTurn(t.conv_id, t.turn_idx, t.role, "", Nil,
+          0, "", s"internal:${e.getClass.getSimpleName}", html.length.toLong, 0L)
+    }
+  }
+
+  /** Distributed extraction. No shuffle; preserves input partitioning. */
+  def extract(ds: Dataset[TranscriptTurn],
+              metrics: Option[Metrics] = None,
+              budgets: Budgets = DefaultBudgets,
+              options: VisibleTextOptions = VisibleTextOptions()): Dataset[ExtractedTurn] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        val out = onBigStack(() => batch.map(extractOne(_, budgets, options)))
+        metrics.foreach { m =>
+          m.turnsIn.add(batch.size.toLong)
+          out.foreach { e =>
+            if (e.budget_error.isEmpty) m.turnsOk.add(1L) else m.turnsFailed.add(1L)
+            m.parseErrors.add(e.n_parse_errors.toLong)
+            m.bytesIn.add(e.n_chars_in)
+            m.bytesOut.add(e.n_chars_out)
+          }
+        }
+        out
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Lineage & digests
+
+  /** FNV-1a 64-bit over the identity of one extracted row. */
+  def rowDigest(convId: String, turnIdx: Int, text: String): Long = {
+    var h = 0xcbf29ce484222325L
+    def mixStr(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      h ^= 0x1fL; h *= 0x100000001b3L
+    }
+    mixStr(convId)
+    h ^= turnIdx.toLong; h *= 0x100000001b3L
+    mixStr(text)
+    h
+  }
+
+  /** One lineage row per task partition: partition id, files, counts and an
+    * order-independent XOR digest (stable across parallelism levels — the
+    * global XOR of all partition digests is the dataset digest).
+    */
+  def lineage(extracted: Dataset[ExtractedTurn]): Dataset[LineageRow] = {
+    import extracted.sparkSession.implicits._
+    extracted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var n = 0L; var errs = 0L; var digest = 0L
+      it.foreach { e =>
+        n += 1
+        if (e.budget_error.nonEmpty) errs += 1
+        digest ^= rowDigest(e.conv_id, e.turn_idx, e.extracted_text)
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator.single(LineageRow(pid, n, errs, Nil, digest))
+    }
+  }
+
+  /** Order-independent digest of the whole extracted dataset. */
+  def datasetDigest(extracted: Dataset[ExtractedTurn]): Long = {
+    import extracted.sparkSession.implicits._
+    extracted
+      .map(e => rowDigest(e.conv_id, e.turn_idx, e.extracted_text))
+      .reduce(_ ^ _)
+  }
+}
