@@ -177,7 +177,7 @@ object Dedup {
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(expr("a.simhash").bitwiseXOR(expr("b.simhash"))).as("hamming"))
+        bit_count(expr("a.simhash").bitwiseXOR(expr("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -1,0 +1,123 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Correctness of the training-data operators against local reference
+  * computations on small deterministic data.
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhash signature similarity estimates jaccard") {
+    val a = "the quick brown fox jumps over the lazy dog again and again for fun"
+    val b = "the quick brown fox jumps over the lazy cat again and again for fun"
+    val c = "completely different words in this one nothing shared at all here now"
+    val sa = Dedup.minhashSignature(a, k = 256, shingleN = 3, seed = 42L)
+    val sb = Dedup.minhashSignature(b, k = 256, shingleN = 3, seed = 42L)
+    val sc0 = Dedup.minhashSignature(c, k = 256, shingleN = 3, seed = 42L)
+    def est(x: Array[Long], y: Array[Long]): Double =
+      x.zip(y).count(p => p._1 == p._2).toDouble / x.length
+    val exactAB = Dedup.jaccard(a, b, 3)
+    assert(math.abs(est(sa, sb) - exactAB) < 0.15, s"est=${est(sa, sb)} exact=$exactAB")
+    assert(est(sa, sc0) < 0.1)
+  }
+
+  test("LSH candidate pairs find planted near-duplicates") {
+    val base = (0L until 40L).map(i => i -> s"unique text block number $i with some shared words ${i * 7}")
+    val dups = Seq(100L -> base(3)._2, 101L -> (base(5)._2 + " tail"))
+    val sigs = Dedup.minhashSignatures(docsDF(base ++ dups))
+    val pairs = Dedup.candidatePairs(Dedup.lshBands(sigs, bands = 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 100L)))
+    assert(pairs.contains((5L, 101L)))
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val t3 = "one two three four five six seven eight nine ten"
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(Dedup.simhash64(t1), Dedup.simhash64(t2)) <= 12)
+    assert(ham(Dedup.simhash64(t1), Dedup.simhash64(t3)) > 12)
+  }
+
+  test("simhashPairs finds hamming-close pairs via pigeonhole banding") {
+    import spark.implicits._
+    val rows = Seq(
+      Dedup.SimhashRow(1L, 0x0f0f0f0f0f0f0f0fL),
+      Dedup.SimhashRow(2L, 0x0f0f0f0f0f0f0f0eL), // hamming 1 from #1
+      Dedup.SimhashRow(3L, 0x0f0f0f0f0f0f0f03L), // hamming 3 from #1 (0f^03=0c -> 2 bits, +? )
+      Dedup.SimhashRow(4L, -1L))
+    val pairs = Dedup.simhashPairs(spark.createDataset(rows), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1L))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("brute-force top-k matches a local reference ranking") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(d => math.sin(seed * 31 + d * 7).toFloat)
+    val base = (0L until 50L).map(i => (i, vec(i.toInt)))
+    val df = base.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.filter(col("vec_id") < 3), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      .groupBy(_._1)
+    // local reference
+    for (q <- 0L until 3L) {
+      val expected = base.filter(_._1 != q)
+        .map { case (id, e) => (id, Similarity.cosine(vec(q.toInt), e)) }
+        .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1).toList
+      val got = out(q).sortBy(_._2).map(_._3)
+      assert(got == expected, s"query $q: got $got expected $expected")
+    }
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(d => math.sin(seed * 131 + d * 17).toFloat)
+    val base = (0L until 200L).map(i => (i, vec(i.toInt)))
+    val df = base.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(df, queries, k = 5, nPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("fingerprint column matches local fold") {
+    import spark.implicits._
+    val texts = Seq((1L, "table scan fast"), (2L, "a"), (3L, "big merge join query"))
+    def local(t: String): Long =
+      t.split(' ').foldLeft(0L)((acc, w) => (acc * 31L + w.length * 17L + w.head.toLong) % 2147483647L)
+    val out = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), TextStats.fingerprintColumn(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, t) => assert(out(id) == local(t), s"doc $id") }
+  }
+
+  test("multimodal decode stub is deterministic and batch-shaped") {
+    import spark.implicits._
+    val media = Seq((1L, "hello world".getBytes("UTF-8")), (2L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(out(0).n_bytes == 11L)
+    assert(out(0).meta.format == "stub")
+    assert(out(0).feature.sum > 0.99f && out(0).feature.sum < 1.01f)
+    assert(out(1).n_bytes == 0L)
+    // determinism
+    val again = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(out.map(_.meta).toSeq == again.map(_.meta).toSeq)
+  }
+}
