@@ -41,11 +41,57 @@ object VisibleText {
   private final case class SourceChunk(value: String, meta: SourceMeta)
   private final case class SourceChar(char: Char, meta: SourceMeta)
 
-  private def normalizeNewlines(value: String): String =
-    value.replace("\r\n", "\n").replace('\r', '\n')
+  /** CRLF/CR → LF. Allocation-free when the input has no '\r'. */
+  private def normalizeNewlines(value: String): String = {
+    if (value.indexOf('\r') < 0) return value
+    val sb = new java.lang.StringBuilder(value.length)
+    var i = 0
+    while (i < value.length) {
+      val c = value.charAt(i)
+      if (c == '\r') {
+        sb.append('\n')
+        if (i + 1 < value.length && value.charAt(i + 1) == '\n') i += 1
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
 
-  private def collapseAsciiWhitespace(value: String): String =
-    value.replaceAll("[ \\t\\n\\f\\r]+", " ")
+  private def isSegmentWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  /** Runs of [ \t\n\f\r] → single space (hand-rolled; this runs per text
+    * node and dominated the extraction profile as a per-call-compiled
+    * regex). Returns the input instance when already collapsed.
+    */
+  private def collapseAsciiWhitespace(value: String): String = {
+    var i = 0
+    var needs = false
+    var prevWs = false
+    while (i < value.length && !needs) {
+      val c = value.charAt(i)
+      val ws = isSegmentWs(c)
+      if (ws && (c != ' ' || prevWs)) needs = true
+      prevWs = ws
+      i += 1
+    }
+    if (!needs) return value
+    val sb = new java.lang.StringBuilder(value.length)
+    i = 0
+    prevWs = false
+    while (i < value.length) {
+      val c = value.charAt(i)
+      if (isSegmentWs(c)) {
+        if (!prevWs) sb.append(' ')
+        prevWs = true
+      } else {
+        sb.append(c)
+        prevWs = false
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   private def normalizeSegment(value: String, preserveWhitespace: Boolean): String = {
     val normalized = normalizeNewlines(value)
@@ -63,7 +109,16 @@ object VisibleText {
     if (node.attr("hidden").isDefined) return true
     node.attr("style") match {
       case Some(style) if style.nonEmpty =>
-        val normalized = style.toLowerCase.replaceAll("\\s+", "")
+        // lowercase + strip \s (same class as the reference's /\s+/ regex)
+        val sb = new java.lang.StringBuilder(style.length)
+        var i = 0
+        while (i < style.length) {
+          val c = style.charAt(i)
+          if (!(c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'))
+            sb.append(Character.toLowerCase(c))
+          i += 1
+        }
+        val normalized = sb.toString
         if (normalized.contains("display:none") ||
           normalized.contains("visibility:hidden") ||
           normalized.contains("content-visibility:hidden")) return true
@@ -83,14 +138,54 @@ object VisibleText {
     nonEmptyAttr(node, "aria-label")
   }
 
-  /** Global output normalization (reference: mod.ts:1130-1141). */
+  /** Global output normalization (reference: mod.ts:1130-1141).
+    *
+    * Semantics are the reference's five sequential regex passes
+    * ([ \t\f]+\n → \n; \n[ \t\f]+ → \n; \n{3,} → \n\n; " "{2,} → " ";
+    * \t{2,} → \t), hand-rolled into two scans: a run of [ \t\f\n] that
+    * contains a newline reduces to min(#newlines, 2) newlines (passes 1-3),
+    * then same-char space/tab runs collapse (passes 4-5). The golden fixture
+    * corpus pins the equivalence.
+    */
   def normalizeOutput(value: String, trim: Boolean): String = {
-    var output = normalizeNewlines(value)
-    output = output.replaceAll("[ \\t\\f]+\\n", "\n")
-    output = output.replaceAll("\\n[ \\t\\f]+", "\n")
-    output = output.replaceAll("\\n{3,}", "\n\n")
-    output = output.replaceAll("[ ]{2,}", " ")
-    output = output.replaceAll("\\t{2,}", "\t")
+    val input = normalizeNewlines(value)
+    val sb = new java.lang.StringBuilder(input.length)
+    var i = 0
+    val n = input.length
+    while (i < n) {
+      val c = input.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\f' || c == '\n') {
+        // find the end of the [ \t\f\n] run and count newlines
+        var j = i
+        var newlines = 0
+        while (j < n && {
+          val cj = input.charAt(j)
+          cj == ' ' || cj == '\t' || cj == '\f' || cj == '\n'
+        }) {
+          if (input.charAt(j) == '\n') newlines += 1
+          j += 1
+        }
+        if (newlines > 0) {
+          sb.append('\n')
+          if (newlines > 1) sb.append('\n')
+        } else {
+          // no newline: collapse same-char space/tab runs, keep \f as-is
+          var k = i
+          var prev: Char = 0
+          while (k < j) {
+            val ck = input.charAt(k)
+            if (!((ck == ' ' || ck == '\t') && ck == prev)) sb.append(ck)
+            prev = ck
+            k += 1
+          }
+        }
+        i = j
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    val output = sb.toString
     if (trim) output.trim else output
   }
 
@@ -105,7 +200,7 @@ object VisibleText {
     }
 
     private def metaOf(node: HtmlNode, role: String): SourceMeta =
-      SourceMeta(node.id, node.kind, role)
+      if (chunks == null) null else SourceMeta(node.id, node.kind, role)
 
     private def roleOr(over: String, dflt: String): String =
       if (over != null) over else dflt
@@ -401,7 +496,17 @@ object VisibleText {
   def tokensWithProvenance(
       children: Vector[HtmlNode],
       options: VisibleTextOptions = VisibleTextOptions()
-  ): Vector[VisibleTextTokenWithProvenance] = {
+  ): Vector[VisibleTextTokenWithProvenance] =
+    extractWithProvenance(children, options)._2
+
+  /** One-pass combination of [[ofDocument]] + [[tokensWithProvenance]]:
+    * returns (normalized visible text, provenance tokens) from a single
+    * collector run — the pipeline's extraction hot path.
+    */
+  def extractWithProvenance(
+      children: Vector[HtmlNode],
+      options: VisibleTextOptions = VisibleTextOptions()
+  ): (String, Vector[VisibleTextTokenWithProvenance]) = {
     val collector = collectFrom(children, options, withChunks = true)
     val output = normalizeOutput(collector.parts.toString, options.trim)
     val normalizedChars = normalizeSourceChars(chunksToChars(collector.chunks), options.trim)
@@ -410,12 +515,14 @@ object VisibleText {
       normalizedChars.foreach(c => sb.append(c.char))
       sb.toString
     }
-    if (normalizedOutput != output) {
-      // degraded fallback: tokenize the string output without provenance
-      tokenize(output).map { t =>
-        val role = if (t.kind == "text") "text-node" else "structure-break"
-        VisibleTextTokenWithProvenance(t.kind, t.value, None, "document", role)
-      }
-    } else tokenizeWithChars(normalizedChars)
+    val tokens =
+      if (normalizedOutput != output) {
+        // degraded fallback: tokenize the string output without provenance
+        tokenize(output).map { t =>
+          val role = if (t.kind == "text") "text-node" else "structure-break"
+          VisibleTextTokenWithProvenance(t.kind, t.value, None, "document", role)
+        }
+      } else tokenizeWithChars(normalizedChars)
+    (output, tokens)
   }
 }

@@ -90,7 +90,12 @@ object ExtractJob {
           bucketOf.drop("_bucket").as[TranscriptTurn], Some(metrics))
           .withColumn("_bucket", pmod(xxhash64(col("conv_id")), lit(args.buckets)))
 
-        extracted.write.mode(SaveMode.Overwrite)
+        // stable turn ordering inside every bucket file: repartition by
+        // bucket then sort (conv_id, turn_idx) within each writer task
+        extracted
+          .repartition(col("_bucket"))
+          .sortWithinPartitions(col("_bucket"), col("conv_id"), col("turn_idx"))
+          .write.mode(SaveMode.Overwrite)
           .partitionBy("_bucket")
           .parquet(s"${args.output}/data/pass=$pass")
 

@@ -56,19 +56,37 @@ object Extraction {
   private val BatchSize = 512
   private val WorkerStackBytes = 64L * 1024 * 1024
 
-  /** Run `f` on a fresh thread with a deep stack; rethrow its failure. */
-  private def onBigStack[T](f: () => T): T = {
-    var out: Either[Throwable, T] = null
-    val th = new Thread(null, () => {
-      out = try Right(f()) catch { case t: Throwable => Left(t) }
-    }, "graft-extract", WorkerStackBytes)
-    th.setDaemon(true)
-    th.start()
-    th.join()
-    out match {
-      case Right(v) => v
-      case Left(t)  => throw t
-    }
+  /** One long-lived deep-stack worker thread per task: batches of work are
+    * handed over via synchronous queues. A thread PER BATCH would re-mmap a
+    * 64 MiB stack thousands of times per task and serialize on the process
+    * memory-map lock at high core counts — one thread per task amortizes it
+    * to nothing while keeping the deep stack for recursive tree work.
+    */
+  final class BigStackWorker {
+    private val in = new java.util.concurrent.SynchronousQueue[AnyRef]
+    private val out = new java.util.concurrent.SynchronousQueue[AnyRef]
+    private object Poison
+    private val thread = new Thread(null, () => {
+      var running = true
+      while (running) {
+        in.take() match {
+          case f: Function0[_] =>
+            out.put(try Right(f()) catch { case t: Throwable => Left(t) })
+          case _ => running = false
+        }
+      }
+    }, "graft-extract-worker", WorkerStackBytes)
+    thread.setDaemon(true)
+    thread.start()
+
+    def apply[T](f: () => T): T =
+      { in.put(f); out.take() } match {
+        case Right(v) => v.asInstanceOf[T]
+        case Left(t: Throwable) => throw t
+        case other => throw new IllegalStateException(s"unexpected $other")
+      }
+
+    def close(): Unit = in.offer(Poison, 1, java.util.concurrent.TimeUnit.SECONDS)
   }
 
   /** Extract one turn. Total: never throws. */
@@ -78,13 +96,13 @@ object Extraction {
     try {
       val tree = HtmlParser.parse(html,
         ParseOptions(captureSpans = true, budgets = Some(budgets)))
-      val text = VisibleText.ofDocument(tree, options)
+      val (text, provTokens) = VisibleText.extractWithProvenance(tree.children, options)
       // node id -> input span, for provenance-token char spans
       val spanById = scala.collection.mutable.HashMap.empty[Int, Span]
       Traversal.walk(tree) { (n, _) =>
         if (n.spanProvenance == "input") n.span.foreach(spanById.put(n.id, _))
       }
-      val spans = VisibleText.tokensWithProvenance(tree.children, options).map { tok =>
+      val spans = provTokens.map { tok =>
         val sp = tok.sourceNodeId.flatMap(spanById.get)
         TokenSpan(tok.kind, tok.value,
           sp.map(_.start).getOrElse(-1), sp.map(_.end).getOrElse(-1),
@@ -111,8 +129,11 @@ object Extraction {
               options: VisibleTextOptions = VisibleTextOptions()): Dataset[ExtractedTurn] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap { batch =>
-        val out = onBigStack(() => batch.map(extractOne(_, budgets, options)))
+      val worker = new BigStackWorker
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => worker.close()))
+      val batched = it.grouped(BatchSize).flatMap { batch =>
+        val out = worker(() => batch.map(extractOne(_, budgets, options)))
         metrics.foreach { m =>
           m.turnsIn.add(batch.size.toLong)
           out.foreach { e =>
@@ -124,6 +145,7 @@ object Extraction {
         }
         out
       }
+      batched
     }
   }
 

@@ -48,7 +48,7 @@ object Transcripts {
     * noscript, svg foreign content), so the bench corpus exercises the whole
     * extraction surface (reference rule set: src/public/mod.ts:1002-1372).
     */
-  private[pipeline] def htmlFor(seed: Long, turnIdx: Int): String = {
+  def htmlFor(seed: Long, turnIdx: Int): String = {
     val a = words(mix(seed + 1), 8)
     val b = words(mix(seed + 2), 12)
     val c = words(mix(seed + 3), 5)
@@ -70,7 +70,7 @@ object Transcripts {
     * "long" (256 turns); otherwise 2..17 turns (median ~9) — exercises the
     * north rule's skewed-long-conversation handling deterministically.
     */
-  private[pipeline] def turnsOf(seed: Long, convIdx: Long): Seq[TranscriptTurn] = {
+  def turnsOf(seed: Long, convIdx: Long): Seq[TranscriptTurn] = {
     val convSeed = mix(seed ^ mix(convIdx))
     val nTurns =
       if (convIdx % 403L == 17L) 256

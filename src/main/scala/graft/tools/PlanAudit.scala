@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: asserts the properties that matter at 100 TB —
+  * column pruning to the parquet scan, filter pushdown, broadcastability,
+  * and absence of accidental shuffles in the extraction path.
+  * Run: sbt "runMain graft.tools.PlanAudit"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var failures = 0
+    def check(name: String)(cond: Boolean, detail: => String): Unit = {
+      if (cond) println(s"OK   $name")
+      else { failures += 1; println(s"FAIL $name\n$detail") }
+    }
+
+    // 1. extraction query prunes to (doc_id, text): ReadSchema must not
+    //    mention lang/source/n_chars
+    val vt = graft.SparkEntry.queries("q_visible_text")(spark, sfDir)
+    val vtPlan = vt.queryExecution.executedPlan.toString
+    check("q_visible_text prunes scan to doc_id,text")(
+      vtPlan.contains("ReadSchema") && !vtPlan.contains("n_chars"), vtPlan)
+    check("q_visible_text has no shuffle")(
+      !vtPlan.contains("Exchange"), vtPlan)
+
+    // 2. flagship extraction pipeline: exactly the declared shuffles
+    val entryPlan = graft.SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    check("entry extraction is shuffle-free")(
+      !entryPlan.contains("Exchange"), entryPlan)
+
+    // 3. ANN query: the query set collects eagerly (broadcast small side) so
+    //    the remaining plan is the base scan — it must prune to
+    //    (vec_id, embedding) and the label column must not be read
+    val ann = graft.SparkEntry.queries("q_ann_cosine")(spark, sfDir)
+    val annPlan = ann.queryExecution.executedPlan.toString
+    check("q_ann_cosine prunes base scan (no label col)")(
+      !annPlan.contains("label"), annPlan)
+
+    // 4. doc_stats agg: partial aggregation before the exchange
+    val stats = graft.SparkEntry.queries("q_doc_stats")(spark, sfDir)
+    val statsPlan = stats.queryExecution.executedPlan.toString
+    check("q_doc_stats has map-side partial agg")(
+      statsPlan.contains("HashAggregate") &&
+        statsPlan.indexOf("HashAggregate") < statsPlan.indexOf("Exchange"), statsPlan)
+
+    // 5. transcript pipeline: one shuffle for the window, none extra
+    val tx = graft.SparkEntry.queries("q_transcript_extract")(spark, sfDir)
+    val txPlan = tx.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(txPlan).length
+    check("q_transcript_extract has exactly 1 shuffle (window)")(
+      exchanges == 1, s"found $exchanges exchanges\n$txPlan")
+
+    // 6. dedup exact: partial agg + single shuffle on md5 key
+    val dd = graft.SparkEntry.queries("q_dedup_exact")(spark, sfDir)
+    val ddPlan = dd.queryExecution.executedPlan.toString
+    check("q_dedup_exact single shuffle with partial agg")(
+      "Exchange".r.findAllIn(ddPlan).length == 1 && ddPlan.contains("HashAggregate"), ddPlan)
+
+    println(if (failures == 0) "ALL PLAN CHECKS PASSED" else s"$failures CHECKS FAILED")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
