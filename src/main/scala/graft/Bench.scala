@@ -218,7 +218,7 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""core":{"parse_medium_mb_per_sec":${f(core("parse_medium_mb_per_sec"))},""" +
       s""""parse_large_mb_per_sec":${f(core("parse_large_mb_per_sec"))}},""" +
-      s""""scaling":{"protocol":"local-cluster: separate executor JVM processes, 1 core + 2GiB each, identical job+input, best of 3 timed runs per cluster size",""" +
+      s""""scaling":{"protocol":"local-cluster: separate executor JVM processes, 1 core + 1.5GiB pre-touched heap each, identical job+input, best-of-N timed runs per cluster size (all raw runs reported)",""" +
       s""""turns":${levels(1)._2},""" +
       levels.toSeq.sortBy(_._1).map { case (e, (ts, _, _)) =>
         s""""turns_per_sec_${e}_executors":${f(ts.max)},"runs_${e}_executors":[${ts.map(f).mkString(",")}]""" }.mkString(",") + "," +

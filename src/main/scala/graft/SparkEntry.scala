@@ -121,6 +121,14 @@ object SparkEntry {
         (id, h) => IdText(id, vt(h))
       }),
 
+    "q_parse_stream" -> ((s, dir) =>
+      overHtml[IdText](s, dir, "concat('<p>', text, '</p>')") { (id, h) =>
+        // chunked-bytes ingestion path: 7-byte chunks exercise sniffing and
+        // multi-chunk incremental decode (reference parseStream)
+        val chunks = h.getBytes("UTF-8").grouped(7)
+        IdText(id, VisibleText.ofDocument(Streaming.parseStream(chunks)))
+      }),
+
     "q_textcontent" -> ((s, dir) =>
       overHtml[IdText](s, dir,
         "concat('<div> ', lang, '  <span>', source, '</span></div>')") {
@@ -369,6 +377,9 @@ object SparkEntry {
 
     "q_visible_text_br_pre" ->
       s"SELECT doc_id, lang || $NL || source || $NL || $NL || text AS extracted_text FROM documents",
+
+    "q_parse_stream" ->
+      "SELECT doc_id, text AS extracted_text FROM documents",
 
     "q_textcontent" ->
       "SELECT doc_id, ' ' || lang || '  ' || source AS extracted_text FROM documents",
