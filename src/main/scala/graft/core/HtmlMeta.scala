@@ -54,7 +54,9 @@ object HtmlMeta {
   /** HTML integration points (spec §13.2.6.5). */
   def isHtmlIntegrationPoint(el: DomElement): Boolean = {
     if (el.namespace == Ns.Svg)
-      el.tagName == "foreignobject" || el.tagName == "desc" || el.tagName == "title"
+      // SVG tag names are stored case-adjusted (svg tag-name table), so the
+      // integration-point check must use the adjusted camelCase form
+      el.tagName == "foreignObject" || el.tagName == "desc" || el.tagName == "title"
     else if (el.namespace == Ns.MathMl && el.tagName == "annotation-xml") {
       val enc = el.attr("encoding")
       enc != null && {

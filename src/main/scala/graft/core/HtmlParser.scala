@@ -56,11 +56,12 @@ object HtmlParser {
     CompatPatch.patchSelectAdoption(dom)
 
     val (children, _) = convertChildren(dom.children, options.captureSpans, budgets, errors)
-    val metrics = collectMetrics(children)
-    val totalNodes = metrics._1 + 1
-
-    enforceInt("maxNodes", budgets.flatMap(_.maxNodes), totalNodes.toLong)
-    enforceInt("maxDepth", budgets.flatMap(_.maxDepth), metrics._2.toLong)
+    // metrics walk only when a budget actually needs it (hot path skips it)
+    if (budgets.exists(b => b.maxNodes.isDefined || b.maxDepth.isDefined)) {
+      val metrics = collectMetrics(children)
+      enforceInt("maxNodes", budgets.flatMap(_.maxNodes), metrics._1.toLong + 1L)
+      enforceInt("maxDepth", budgets.flatMap(_.maxDepth), metrics._2.toLong)
+    }
     enforce("maxTimeMs", budgets.flatMap(_.maxTimeMs),
       System.currentTimeMillis() - startedAt)
 

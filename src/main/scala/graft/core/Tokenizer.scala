@@ -199,6 +199,47 @@ final class Tokenizer(input: String, sink: TokenSink) {
     charEnd = -1
   }
 
+  /** Fast path for the text states: after one ordinary character was
+    * emitted, bulk-append the following run of plain chars of the SAME
+    * whitespace class (run segmentation is per ws-class, see emitChar),
+    * stopping at '&' (when the state decodes refs), '<' (when the state
+    * opens tags), NUL, '\r' (needs normalization) and EOF. Byte-identical
+    * to the per-char loop; removes per-char dispatch from the hot path.
+    */
+  private def bulkPlainRun(stopAmp: Boolean, stopLt: Boolean): Unit = {
+    val cls = charIsWs
+    val from = pos
+    var p = pos
+    while (p < len) {
+      val ch = input.charAt(p)
+      if ((stopAmp && ch == '&') || (stopLt && ch == '<') ||
+          ch == '\u0000' || ch == '\r' || isWsChar(ch) != cls) {
+        p = -1 - p // encode stop
+      } else p += 1
+      if (p < 0) { p = -1 - p; charBuf.underlying.append(input, from, p); pos = p; charEnd = p; return }
+    }
+    charBuf.underlying.append(input, from, p); pos = p; charEnd = p
+  }
+
+  /** Bulk-append a run of ordinary chars into `buf`, lowercasing if asked.
+    * Stops BEFORE any char in `stops`, '\r' (normalization), NUL, or — when
+    * `lower` — an ASCII uppercase letter (handled by the per-char path).
+    * Shares exact semantics with the per-char state loops.
+    */
+  private def bulkInto(buf: StringBuilder, stops: String, lower: Boolean): Unit = {
+    val from = pos
+    var p = pos
+    while (p < len) {
+      val ch = input.charAt(p)
+      if (ch == '\u0000' || ch == '\r' || stops.indexOf(ch) >= 0 ||
+          (lower && ch >= 'A' && ch <= 'Z')) {
+        buf.underlying.append(input, from, p); pos = p; return
+      }
+      p += 1
+    }
+    buf.underlying.append(input, from, p); pos = p
+  }
+
   // --- tag helpers ---
   private def startTag(isEnd: Boolean): Unit = {
     tag = new TagToken
@@ -380,7 +421,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case '<' => tokenStart = curStart; state = TagOpen
             case 0   => err("unexpected-null-character"); emitChar('\u0000')
             case EOF => emitEof(); running = false
-            case _   => emitChar(c.toChar)
+            case _   => emitChar(c.toChar); bulkPlainRun(stopAmp = true, stopLt = true)
           }
 
         case Rcdata =>
@@ -390,7 +431,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case '<' => tokenStart = curStart; state = RcdataLessThan
             case 0   => err("unexpected-null-character"); emitChar('�')
             case EOF => emitEof(); running = false
-            case _   => emitChar(c.toChar)
+            case _   => emitChar(c.toChar); bulkPlainRun(stopAmp = true, stopLt = true)
           }
 
         case Rawtext =>
@@ -399,7 +440,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case '<' => tokenStart = curStart; state = RawtextLessThan
             case 0   => err("unexpected-null-character"); emitChar('�')
             case EOF => emitEof(); running = false
-            case _   => emitChar(c.toChar)
+            case _   => emitChar(c.toChar); bulkPlainRun(stopAmp = false, stopLt = true)
           }
 
         case ScriptData =>
@@ -408,7 +449,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case '<' => tokenStart = curStart; state = ScriptDataLessThan
             case 0   => err("unexpected-null-character"); emitChar('�')
             case EOF => emitEof(); running = false
-            case _   => emitChar(c.toChar)
+            case _   => emitChar(c.toChar); bulkPlainRun(stopAmp = false, stopLt = true)
           }
 
         case Plaintext =>
@@ -416,7 +457,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
           c match {
             case 0   => err("unexpected-null-character"); emitChar('�')
             case EOF => emitEof(); running = false
-            case _   => emitChar(c.toChar)
+            case _   => emitChar(c.toChar); bulkPlainRun(stopAmp = false, stopLt = false)
           }
 
         // ---------------- tag open ----------------
@@ -465,7 +506,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case 0 =>
               err("unexpected-null-character"); nameBuf.append('�')
             case EOF => err("eof-in-tag"); emitEof(); running = false
-            case _   => nameBuf.append(toLower(c))
+            case _   => nameBuf.append(toLower(c)); bulkInto(nameBuf, "\t\n\f />", lower = true)
           }
 
         // ---------------- RCDATA/RAWTEXT/script-data end tags ----------------
@@ -707,7 +748,9 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case '"' | '\'' | '<' =>
               err("unexpected-character-in-attribute-name")
               attrNameBuf.append(c.toChar)
-            case _ => attrNameBuf.append(toLower(c))
+            case _ =>
+              attrNameBuf.append(toLower(c))
+              bulkInto(attrNameBuf, "\t\n\f />=\"'<", lower = true)
           }
 
         case AfterAttrName =>
@@ -745,7 +788,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case 0 =>
               err("unexpected-null-character"); attrValueBuf.append('�')
             case EOF => err("eof-in-tag"); emitEof(); running = false
-            case _   => attrValueBuf.append(c.toChar)
+            case _   => attrValueBuf.append(c.toChar); bulkInto(attrValueBuf, "\"&", lower = false)
           }
 
         case AttrValueSingle =>
@@ -756,7 +799,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case 0 =>
               err("unexpected-null-character"); attrValueBuf.append('�')
             case EOF => err("eof-in-tag"); emitEof(); running = false
-            case _   => attrValueBuf.append(c.toChar)
+            case _   => attrValueBuf.append(c.toChar); bulkInto(attrValueBuf, "'&", lower = false)
           }
 
         case AttrValueUnquoted =>
@@ -773,7 +816,9 @@ final class Tokenizer(input: String, sink: TokenSink) {
               err("unexpected-character-in-unquoted-attribute-value")
               attrValueBuf.append(c.toChar)
             case EOF => err("eof-in-tag"); emitEof(); running = false
-            case _   => attrValueBuf.append(c.toChar)
+            case _   =>
+              attrValueBuf.append(c.toChar)
+              bulkInto(attrValueBuf, "\t\n\f &>\"'<=`", lower = false)
           }
 
         case AfterAttrValueQuoted =>

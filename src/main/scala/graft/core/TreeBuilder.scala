@@ -393,24 +393,36 @@ final class TreeBuilder(
   private def afeInsertMarker(): Unit = afe += new AfeEntry(null, null, 0, Vector.empty)
 
   private def afePush(el: DomElement, tag: TagToken): Unit = {
-    // Noah's Ark: at most 3 matching entries after the last marker
-    val snapshot = tag.attrs.iterator.map(a => (a.name, a.value)).toVector
+    // Noah's Ark: at most 3 matching entries after the last marker.
+    // Fast path: scan by (name, ns) with index loops and only materialize
+    // attribute snapshots when a candidate name/ns match exists — the
+    // common case (no formatting-element repetition) allocates one entry.
     var count = 0
     var earliestIdx = -1
+    var snapshot: Vector[(String, String)] = null
+    def snap(): Vector[(String, String)] = {
+      if (snapshot == null) {
+        val b = Vector.newBuilder[(String, String)]
+        var j = 0
+        while (j < tag.attrs.length) { val a = tag.attrs(j); b += ((a.name, a.value)); j += 1 }
+        snapshot = b.result()
+      }
+      snapshot
+    }
     var i = afe.length - 1
     var break = false
     while (i >= 0 && !break) {
       val e = afe(i)
       if (e.isMarker) break = true
       else if (e.name == el.tagName && e.ns == el.namespace &&
-        e.attrsSnapshot.size == snapshot.size && e.attrsSnapshot.toSet == snapshot.toSet) {
+        e.attrsSnapshot.size == tag.attrs.length && e.attrsSnapshot.toSet == snap().toSet) {
         count += 1
         earliestIdx = i
       }
       i -= 1
     }
     if (count >= 3 && earliestIdx >= 0) afe.remove(earliestIdx)
-    afe += new AfeEntry(el, el.tagName, el.namespace, snapshot)
+    afe += new AfeEntry(el, el.tagName, el.namespace, snap())
   }
 
   private def afeIndexOf(el: DomElement): Int = afe.indexWhere(e => e.element eq el)
