@@ -288,19 +288,17 @@ object SparkEntry {
       val planted = base.filter(col("doc_id") < 50)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(lit("zz "), col("text")).as("text"))
-      val sigs = Dedup.minhashSignatures(base.unionAll(planted))
+      val corpus = base.unionAll(planted)
+      val sigs = Dedup.minhashSignatures(corpus)
       val cands = Dedup.candidatePairs(Dedup.lshBands(sigs, bands = 16))
-      val spark = s
-      import spark.implicits._
-      val byId = base.unionAll(planted).as[(Long, String)].collect().toMap
-      val byIdB = s.sparkContext.broadcast(byId)
       // organic near-dups exist in the synthetic corpus too; the oracle can
       // only enumerate the planted relation, so assert completeness on it:
-      // every planted pair must be found by LSH and verify at jaccard>=0.5
-      cands.as[(Long, Long)]
-        .filter { case (a, b) =>
-          b - a == 1000000L && Dedup.jaccard(byIdB.value(a), byIdB.value(b)) >= 0.5 }
-        .toDF("id_a", "id_b")
+      // every planted pair must be found by LSH and verify at jaccard>=0.5.
+      // Verification is fully distributed (join text back by id) — no
+      // driver-side materialization of the corpus.
+      Dedup.verifyCandidates(cands, corpus)
+        .filter(col("id_b") - col("id_a") === 1000000L && col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
     }),
 
     "q_simhash" -> ((s, dir) => Dedup.simhashes(docs(s, dir)).toDF()),

@@ -10,8 +10,11 @@ import scala.collection.mutable.ArrayBuffer
   *    meta prescan > windows-1252 default);
   *  - decode the remaining chunks incrementally with a stateful decoder
   *    (multi-byte sequences may straddle chunk boundaries);
-  *  - budget checks per chunk: maxInputBytes against total bytes read,
-  *    maxBufferedBytes against the decoded buffer, maxTimeMs wall clock
+  *  - budget checks per chunk: maxInputBytes against total bytes read;
+  *    maxBufferedBytes pre-sniff against the accumulating head buffer and
+  *    post-sniff against each individual chunk's byte length (the decoder
+  *    emits text incrementally, so only one chunk is ever buffered at a
+  *    time — matching mod.ts:826,845 exactly); maxTimeMs wall clock
   *    (mod.ts:819-845);
   *  - then run the ordinary parse/tokenize over the decoded text — the
   *    reference also decodes fully before tokenizing (mod.ts:886-896), so
@@ -89,7 +92,6 @@ object Streaming {
         val keep = java.nio.ByteBuffer.allocate(in.remaining)
         keep.put(in); keep.flip(); keep
       } else java.nio.ByteBuffer.allocate(0)
-      checkBytes("maxBufferedBytes", budgets.flatMap(_.maxBufferedBytes), out.length.toLong)
       checkTime()
     }
 
@@ -103,6 +105,9 @@ object Streaming {
       val chunk = rest.next()
       bytesIn += chunk.length
       checkBytes("maxInputBytes", budgets.flatMap(_.maxInputBytes), bytesIn)
+      // post-sniff the reference bounds only the single in-flight chunk
+      // (mod.ts:845), not the cumulative decoded text
+      checkBytes("maxBufferedBytes", budgets.flatMap(_.maxBufferedBytes), chunk.length.toLong)
       feed(chunk, 0, endOfInput = !rest.hasNext)
     }
 
@@ -129,9 +134,10 @@ object Streaming {
   def tokenizeStream(
       chunks: Iterator[Array[Byte]],
       opts: TokenizeOpts = TokenizeOpts(),
-      transportEncodingLabel: Option[String] = None
+      transportEncodingLabel: Option[String] = None,
+      budgets: Option[Budgets] = None
   ): Iterator[HtmlToken] = {
-    val decoded = decodeStreamToText(chunks, transportEncodingLabel, None)
+    val decoded = decodeStreamToText(chunks, transportEncodingLabel, budgets)
     TokenizeApi.tokenize(decoded.text, opts).tokens.iterator
   }
 }

@@ -16,23 +16,30 @@ object VisibleTextEval {
     maxNodes = Some(2 * 1024 * 1024),
     maxDepth = Some(65536))
 
+  // Budget trips, malformed-input surprises, and recursion overflow on the
+  // task thread (maxDepth is only checked post-build) degrade to "" so one
+  // poison row never kills a task; genuinely fatal errors (OOM etc.) must
+  // still fail the task rather than masquerade as an empty extraction.
+  private def guard(body: => String): String =
+    try body
+    catch {
+      case scala.util.control.NonFatal(_) => ""
+      case _: StackOverflowError          => ""
+    }
+
   def visibleText(html: UTF8String): UTF8String = {
     if (html == null) return null
-    val out =
-      try VisibleText.ofDocument(
+    UTF8String.fromString(guard(
+      VisibleText.ofDocument(
         HtmlParser.parse(html.toString, ParseOptions(budgets = Some(budgets))),
-        VisibleTextOptions())
-      catch { case _: Throwable => "" } // budget/poison rows yield empty, never fail a task
-    UTF8String.fromString(out)
+        VisibleTextOptions())))
   }
 
   def textContent(html: UTF8String): UTF8String = {
     if (html == null) return null
-    val out =
-      try graft.core.Traversal.textContent(
-        HtmlParser.parse(html.toString, ParseOptions(budgets = Some(budgets))).children)
-      catch { case _: Throwable => "" }
-    UTF8String.fromString(out)
+    UTF8String.fromString(guard(
+      graft.core.Traversal.textContent(
+        HtmlParser.parse(html.toString, ParseOptions(budgets = Some(budgets))).children)))
   }
 }
 

@@ -49,21 +49,44 @@ object Dedup {
 
   private val MersennePrime = (1L << 61) - 1
 
+  /** Exact (a * x) mod 2^61-1 for a, x in [0, 2^61): the 122-bit product is
+    * split via Math.multiplyHigh and folded with 2^61 ≡ 1 (mod p).
+    */
+  def mulModMersenne(a: Long, x: Long): Long = {
+    val hi = Math.multiplyHigh(a, x)
+    val lo = a * x
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & MersennePrime)
+    while (r >= MersennePrime) r -= MersennePrime
+    r
+  }
+
+  /** The seeded coefficients of the universal family h_j(x) = (a_j*x + b_j)
+    * mod 2^61-1, a_j odd in [1, 2^61-2], b_j in [0, 2^61-2]. Exposed so the
+    * DuckDB oracle can inline the identical constants.
+    */
+  def minhashCoefficients(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val as = Array.fill(k)(((rnd.nextLong() & MersennePrime) % MersennePrime) | 1L)
+    val bs = Array.fill(k)((rnd.nextLong() & MersennePrime) % MersennePrime)
+    (as, bs)
+  }
+
   /** k-permutation MinHash signature over the shingle set. Seeded linear
-    * hashes h_i(x) = (a_i * x + b_i) mod 2^61-1, deterministic in `seed`.
+    * hashes h_j(x) = (a_j * x + b_j) mod 2^61-1 computed with exact 128-bit
+    * arithmetic (a genuine universal family), deterministic in `seed`;
+    * shingle hashes are folded into [0, 2^61) before hashing.
     */
   def minhashSignature(text: String, k: Int, shingleN: Int, seed: Long): Array[Long] = {
     val sh = shingles(text, shingleN)
     val sig = Array.fill(k)(Long.MaxValue)
-    val rnd = new java.util.Random(seed)
-    val as = Array.fill(k)(rnd.nextLong() & Long.MaxValue | 1L)
-    val bs = Array.fill(k)(rnd.nextLong() & Long.MaxValue)
+    val (as, bs) = minhashCoefficients(k, seed)
     var i = 0
     while (i < sh.length) {
-      val x = sh(i) & Long.MaxValue
+      val x = sh(i) & MersennePrime
       var j = 0
       while (j < k) {
-        val h = (as(j) * x + bs(j)) % MersennePrime
+        val t = mulModMersenne(as(j), x) + bs(j)
+        val h = if (t >= MersennePrime) t - MersennePrime else t
         if (h < sig(j)) sig(j) = h
         j += 1
       }
@@ -127,6 +150,28 @@ object Dedup {
     else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
   }
 
+  /** Distributed verification of LSH candidate pairs: joins the text back by
+    * id on both sides and computes exact Jaccard executor-side. No driver
+    * materialization — the scale shape is two hash joins on doc ids followed
+    * by a map, so it survives corpora whose text cannot fit on the driver.
+    * Input `cands`: (id_a, id_b); output: (id_a, id_b, jaccard).
+    */
+  def verifyCandidates(cands: DataFrame, docs: DataFrame, shingleN: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val d = docs.select(col(idCol).cast("long").as("vid"), col(textCol).as("vtext"))
+    cands.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .join(d.select(col("vid").as("id_a"), col("vtext").as("text_a")), Seq("id_a"))
+      .join(d.select(col("vid").as("id_b"), col("vtext").as("text_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.map { case (a, b, ta, tb) =>
+        (a, b, jaccard(if (ta == null) "" else ta, if (tb == null) "" else tb, shingleN))
+      })
+      .toDF("id_a", "id_b", "jaccard")
+  }
+
   // -------------------------------------------------------------------
   // SimHash
 
@@ -157,28 +202,53 @@ object Dedup {
       .mapPartitions(_.map { case (id, t) => SimhashRow(id, simhash64(t)) })
   }
 
-  /** Near-dup pairs with Hamming distance <= maxHamming, found by the
-    * pigeonhole banding trick: split 64 bits into (maxHamming+1) chunks —
-    * any pair within distance must agree on at least one chunk → join on
-    * (chunk index, chunk value), then verify distance exactly.
-    */
-  def simhashPairs(rows: Dataset[SimhashRow], maxHamming: Int = 3): DataFrame = {
+  private def simhashKeyed(rows: Dataset[SimhashRow], maxHamming: Int): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    val keyed = rows.flatMap { r =>
+    rows.flatMap { r =>
       (0 until chunks).iterator.map { c =>
         (r.doc_id, r.simhash, c, (r.simhash >>> (c * width)) & ((1L << width) - 1))
       }
     }.toDF("doc_id", "simhash", "chunk", "chunk_val")
-    keyed.as("a").join(keyed.as("b"),
-        col("a.chunk") === col("b.chunk") &&
-        col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(expr("a.simhash").bitwiseXOR(expr("b.simhash"))).cast("long").as("hamming"))
+  }
+
+  /** Near-dup pairs with Hamming distance <= maxHamming, found by the
+    * pigeonhole banding trick: split 64 bits into (maxHamming+1) chunks —
+    * any pair within distance must agree on at least one chunk → group by
+    * (chunk index, chunk value), explode pairs, verify distance exactly.
+    *
+    * `maxBucket` caps the per-(chunk, chunk_val) bucket width: a degenerate
+    * chunk value (e.g. simhash 0 from empty/boilerplate docs) would explode
+    * quadratically at scale; wide buckets are dropped, and
+    * [[simhashOverflowBuckets]] reports exactly what was dropped so callers
+    * can route those docs through exact dedup instead.
+    */
+  def simhashPairs(rows: Dataset[SimhashRow], maxHamming: Int = 3,
+                   maxBucket: Int = 64): DataFrame = {
+    val buckets = simhashKeyed(rows, maxHamming)
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+    buckets.select(explode(expr(
+      "filter(flatten(transform(ds, a -> transform(ds, b -> " +
+        "struct(a.doc_id AS id_a, a.simhash AS sh_a, b.doc_id AS id_b, b.simhash AS sh_b)))), " +
+        "p -> p.id_a < p.id_b)"
+    )).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Buckets dropped by [[simhashPairs]]' skew cap: (chunk, chunk_val,
+    * n_docs) for every bucket wider than `maxBucket`.
+    */
+  def simhashOverflowBuckets(rows: Dataset[SimhashRow], maxHamming: Int = 3,
+                             maxBucket: Int = 64): DataFrame =
+    simhashKeyed(rows, maxHamming)
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
 }

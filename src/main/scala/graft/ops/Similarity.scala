@@ -32,12 +32,19 @@ object Similarity {
   /** Exact brute-force top-k cosine neighbors of each query vector.
     * `base`/`queries`: (vec_id: long, embedding: array<float>). Self-matches
     * (same vec_id) are excluded.
+    *
+    * The query side is collected and broadcast, so it must be small;
+    * `maxQueries` guards the collect — exceeding it fails fast instead of
+    * OOM-ing the driver. For large query sets use [[lshTopK]].
     */
-  def bruteForceTopK(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(base: DataFrame, queries: DataFrame, k: Int,
+                     maxQueries: Int = 100000): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val q = queries.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])].collect()
+      .limit(maxQueries + 1).as[(Long, Array[Float])].collect()
+    require(q.length <= maxQueries,
+      s"bruteForceTopK query side exceeds maxQueries=$maxQueries; use lshTopK")
     val qB = spark.sparkContext.broadcast(q)
 
     val candidates = base.select(col("vec_id").cast("long"), col("embedding"))
@@ -91,14 +98,18 @@ object Similarity {
       }
     }
 
+  /** Hyperplane sign pattern of one embedding. The dot product accumulates
+    * in Double over the float32 values, left to right — deterministic and
+    * exactly replayable by an external (double-precision) oracle.
+    */
   def bucketOf(emb: Array[Float], planes: Array[Array[Float]]): Int = {
     var b = 0
     var p = 0
     while (p < planes.length) {
-      var dot = 0.0f; var i = 0
+      var dot = 0.0; var i = 0
       val pl = planes(p)
-      while (i < emb.length) { dot += emb(i) * pl(i); i += 1 }
-      if (dot >= 0f) b |= (1 << p)
+      while (i < emb.length) { dot += emb(i).toDouble * pl(i).toDouble; i += 1 }
+      if (dot >= 0.0) b |= (1 << p)
       p += 1
     }
     b
@@ -106,11 +117,21 @@ object Similarity {
 
   final case class BucketedVec(vec_id: Long, bucket: Int)
 
-  def lshBuckets(base: DataFrame, nPlanes: Int = 8, seed: Long = 42L): Dataset[BucketedVec] = {
+  /** Resolve the embedding dimensionality: prefer the caller-supplied value
+    * (no Spark job); fall back to a single bounded probe of the first row.
+    */
+  private def resolveDim(base: DataFrame, dim: Option[Int]): Int = dim.getOrElse {
     val spark = base.sparkSession
     import spark.implicits._
-    val dim = base.select(col("embedding")).as[Array[Float]].head().length
-    val planes = spark.sparkContext.broadcast(hyperplanes(nPlanes, dim, seed))
+    base.select(col("embedding")).as[Array[Float]].head().length
+  }
+
+  /** Bucket every base vector. Pass `dim` to avoid the one probe job. */
+  def lshBuckets(base: DataFrame, nPlanes: Int = 8, seed: Long = 42L,
+                 dim: Option[Int] = None): Dataset[BucketedVec] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val planes = spark.sparkContext.broadcast(hyperplanes(nPlanes, resolveDim(base, dim), seed))
     base.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, emb) => BucketedVec(id, bucketOf(emb, planes.value)) })
@@ -118,13 +139,14 @@ object Similarity {
 
   /** ANN via LSH buckets: a query scans only base vectors in its own bucket
     * and in buckets at Hamming distance 1 (multi-probe), then exact-ranks.
+    * Pass `dim` to avoid any driver probe job.
     */
   def lshTopK(base: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+              nPlanes: Int = 8, seed: Long = 42L,
+              dim: Option[Int] = None): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    val dim = base.select(col("embedding")).as[Array[Float]].head().length
-    val planes = spark.sparkContext.broadcast(hyperplanes(nPlanes, dim, seed))
+    val planes = spark.sparkContext.broadcast(hyperplanes(nPlanes, resolveDim(base, dim), seed))
 
     val baseB = base.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]

@@ -1,8 +1,8 @@
 package graft.pipeline
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** spark-submit entry point for the transcript extraction pipeline.
   *
@@ -61,14 +61,17 @@ object ExtractJob {
   def run(spark: SparkSession, args: Args): Unit = {
     import spark.implicits._
     val metrics = Extraction.Metrics.register(spark)
-    val progressDir = Paths.get(args.output, "_progress")
-    Files.createDirectories(progressDir)
+    // progress markers go through the Hadoop FileSystem resolved from the
+    // output URI so --output may be local, HDFS, or an object store
+    val progressDir = new HPath(args.output, "_progress")
+    val fs = progressDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(progressDir)
 
     val bucketsPerPass = args.buckets / args.passes
     val t0 = System.nanoTime()
     for (pass <- 0 until args.passes) {
-      val marker = progressDir.resolve(s"pass-$pass.done")
-      if (args.resume && Files.exists(marker)) {
+      val marker = new HPath(progressDir, s"pass-$pass.done")
+      if (args.resume && fs.exists(marker)) {
         println(s"""{"event":"skip-pass","pass":$pass}""")
       } else {
         val lo = pass * bucketsPerPass
@@ -107,7 +110,8 @@ object ExtractJob {
               $"n_chars_in", $"n_chars_out").as[ExtractedTurn])
         lin.write.mode(SaveMode.Overwrite).parquet(s"${args.output}/_lineage/pass=$pass")
 
-        Files.write(marker, java.util.Arrays.asList(s"pass=$pass"))
+        val mOut = fs.create(marker, true)
+        try mOut.write(s"pass=$pass\n".getBytes("UTF-8")) finally mOut.close()
         println(s"""{"event":"pass-done","pass":$pass,"buckets":[$lo,$hi)}""".replace(")}", "]}"))
       }
     }

@@ -60,4 +60,44 @@ class StreamingDecodeSpec extends AnyFunSuite {
     val streamed = Streaming.tokenizeStream(chunksOf(bytes, 3)).toVector
     assert(streamed == TokenizeApi.tokenize(html).tokens)
   }
+
+  test("maxBufferedBytes bounds chunks, not cumulative decoded text") {
+    // reference semantics (mod.ts decodeStreamToText): post-sniff the budget
+    // applies to each individual chunk, so a long stream of tiny chunks is
+    // accepted no matter how large the decoded document grows
+    val bytes = ("<p>" + "x" * 100000 + "</p>").getBytes("UTF-8")
+    val d = Streaming.decodeStreamToText(chunksOf(bytes, 1024),
+      budgets = Some(Budgets(maxBufferedBytes = Some(16384))))
+    assert(d.text.length > 100000)
+  }
+
+  test("maxBufferedBytes rejects an oversized pre-sniff head buffer") {
+    val bytes = ("<p>" + "x" * 9000 + "</p>").getBytes("UTF-8")
+    val e = intercept[BudgetExceededException] {
+      Streaming.decodeStreamToText(chunksOf(bytes, 8192),
+        budgets = Some(Budgets(maxBufferedBytes = Some(8192))))
+    }
+    assert(e.payload.budget == "maxBufferedBytes")
+  }
+
+  test("maxBufferedBytes rejects an oversized post-sniff chunk") {
+    // 16 KiB prescan fills exactly, then one 20000-byte chunk arrives
+    val bytes = ("x" * (16384 + 20000)).getBytes("UTF-8")
+    val chunks = Iterator(bytes.slice(0, 8192), bytes.slice(8192, 16384),
+      bytes.slice(16384, bytes.length))
+    val e = intercept[BudgetExceededException] {
+      Streaming.decodeStreamToText(chunks,
+        budgets = Some(Budgets(maxBufferedBytes = Some(16384))))
+    }
+    assert(e.payload.budget == "maxBufferedBytes")
+  }
+
+  test("tokenizeStream honors decode budgets") {
+    val bytes = ("<p>" + "x" * 1000 + "</p>").getBytes("UTF-8")
+    val e = intercept[BudgetExceededException] {
+      Streaming.tokenizeStream(chunksOf(bytes, 100),
+        budgets = Some(Budgets(maxInputBytes = Some(500)))).toVector
+    }
+    assert(e.payload.budget == "maxInputBytes")
+  }
 }

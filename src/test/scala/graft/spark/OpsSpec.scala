@@ -62,6 +62,38 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
   }
 
+  test("simhashPairs caps degenerate hot buckets instead of exploding") {
+    import spark.implicits._
+    // 10k docs with the identical simhash: unguarded, this is ~50M pairs per
+    // chunk; with the cap it must complete quickly and emit zero pairs while
+    // the overflow report names the dropped buckets
+    val rows = (0L until 10000L).map(i => Dedup.SimhashRow(i, 0L))
+    val ds = spark.createDataset(rows)
+    val pairs = Dedup.simhashPairs(ds, maxHamming = 3, maxBucket = 64)
+    assert(pairs.count() == 0L)
+    val overflow = Dedup.simhashOverflowBuckets(ds, maxHamming = 3, maxBucket = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(overflow.length == 4) // one hot bucket per chunk
+    assert(overflow.forall(_._3 == 10000L))
+  }
+
+  test("verifyCandidates computes exact jaccard distributively") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely unrelated content lives here today")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.verifyCandidates(cands, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == Dedup.jaccard(docs.collect()(0).getString(1),
+      docs.collect()(1).getString(1)))
+    assert(out((1L, 3L)) == 0.0)
+    // the physical plan must be join-based: no driver-side collect exists in
+    // verifyCandidates, so just assert both pairs were scored
+    assert(out.size == 2)
+  }
+
   test("brute-force top-k matches a local reference ranking") {
     import spark.implicits._
     def vec(seed: Int): Array[Float] =
