@@ -64,6 +64,10 @@ object SparkEntry {
   final case class IdChunk(doc_id: Long, chunk_idx: Long, content: String)
   final case class IdSerialized(doc_id: Long, html_out: String)
   final case class IdFingerprint(doc_id: Long, fp: Long)
+  final case class IdTextErrors(doc_id: Long, extracted_text: String,
+                                n_errors: Long, first_error: String)
+  final case class IdTextEnc(doc_id: Long, extracted_text: String, encoding: String)
+  final case class IdTextBudget(doc_id: Long, extracted_text: String, budget_error: String)
 
   /** Flagship: full transcript extraction pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -134,6 +138,84 @@ object SparkEntry {
         "concat('<div> ', lang, '  <span>', source, '</span></div>')") {
         (id, h) => IdText(id, Traversal.textContent(HtmlParser.parse(h).children))
       }),
+
+    // ---- adversarial parser paths (malformed input, closed-form oracle) -
+    // These exercise the error-recovery machinery — adoption agency, foster
+    // parenting, entity edge cases, tag soup, byte-level decode, budgets —
+    // against the independent DuckDB hash gate, not just sbt suites.
+
+    "q_adv_adoption" -> ((s, dir) =>
+      // misnesting <b><i>…</b>…</i>: the adoption agency reparents the <i>
+      // run but the visible text is still the plain concatenation
+      overHtml[IdText](s, dir,
+        "concat('<p><b>', lang, ' <i>', text, '</b> ', source, '</i></p>')") {
+        (id, h) => IdText(id, vt(h))
+      }),
+
+    "q_adv_foster" -> ((s, dir) =>
+      // character data directly inside <table> is foster-parented before
+      // the table; the stray text also records a parse error
+      overHtml[IdTextErrors](s, dir,
+        "concat('<table>', lang, '<tr><td>', text, '</td></tr></table>')") { (id, h) =>
+        val tree = HtmlParser.parse(h)
+        IdTextErrors(id, VisibleText.ofDocument(tree), tree.errors.length.toLong,
+          tree.errors.headOption.map(_.parseErrorId).getOrElse(""))
+      }),
+
+    "q_adv_entities" -> ((s, dir) =>
+      // numeric reference in the windows-1252 remap range (&#150; → U+2013),
+      // hex and decimal references, and a legacy semicolon-less &amp
+      overHtml[IdTextErrors](s, dir,
+        "concat('<p>', text, ' &#150; &#xA9; &#65; &amp</p>')") { (id, h) =>
+        val tree = HtmlParser.parse(h)
+        IdTextErrors(id, VisibleText.ofDocument(tree), tree.errors.length.toLong,
+          tree.errors.headOption.map(_.parseErrorId).getOrElse(""))
+      }),
+
+    "q_adv_soup" -> ((s, dir) =>
+      // unclosed-tag soup (implied </p>/<body> closes) and a misnested
+      // table inside formatting with an implied cell/row structure
+      overHtml[IdTextErrors](s, dir,
+        "CASE CAST(doc_id % 2 AS INT) " +
+          "WHEN 0 THEN concat('<p>', lang, '<p>', text, '<div>', source) " +
+          "ELSE concat('<b><table><td>', lang, '</td><tr><td>', text, '</table></b>', source) END") {
+        (id, h) =>
+          val tree = HtmlParser.parse(h)
+          IdTextErrors(id, VisibleText.ofDocument(tree), tree.errors.length.toLong,
+            tree.errors.headOption.map(_.parseErrorId).getOrElse(""))
+      }),
+
+    "q_adv_bytes_utf16" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val html = s"<p>$text</p>"
+          val bytes =
+            if (id % 2 == 0) Array[Byte](0xFF.toByte, 0xFE.toByte) ++ html.getBytes("UTF-16LE")
+            else Array[Byte](0xFE.toByte, 0xFF.toByte) ++ html.getBytes("UTF-16BE")
+          val sniff = EncodingSniff.sniffHtmlEncoding(bytes, None)
+          IdTextEnc(id, VisibleText.ofDocument(HtmlParser.parseBytes(bytes)), sniff.encoding)
+        }.toDF()
+    }),
+
+    "q_adv_budget" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val depth = if (id % 2 == 0) 300 else 10
+          val html = "<div>" * depth + text + "</div>" * depth
+          try {
+            val tree = HtmlParser.parse(html,
+              ParseOptions(budgets = Some(Budgets(maxDepth = Some(256)))))
+            IdTextBudget(id, VisibleText.ofDocument(tree), "")
+          } catch {
+            case e: BudgetExceededException =>
+              IdTextBudget(id, "", s"budget:${e.payload.budget}")
+          }
+        }.toDF()
+    }),
 
     // ---- parse diagnostics / spans / tokens ----------------------------
     "q_spans" -> ((s, dir) =>
@@ -330,8 +412,15 @@ object SparkEntry {
     }),
 
     "q_ann_lsh_buckets" -> ((s, dir) =>
-      Similarity.lshBuckets(embeddings(s, dir)).toDF()
+      Similarity.lshBuckets(embeddings(s, dir), dim = Some(64)).toDF()
         .select(col("vec_id"), col("bucket").cast("long").as("bucket"))),
+
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+          nPlanes = 8, seed = 42L, dim = Some(64))
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
 
     // ---- multimodal plumbing (stubbed decode) --------------------------
     "q_multimodal" -> ((s, dir) => {
@@ -353,6 +442,77 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------------
+  // Oracle SQL fragments for the hash-replay oracles: the DuckDB side
+  // re-derives minhash/simhash/LSH values with exact integer (HUGEINT) and
+  // double arithmetic, using the SAME seeded constants the Spark operators
+  // use — generated here so the two sides cannot drift.
+
+  private val TwoPow64 = "18446744073709551616::HUGEINT"
+
+  /** FNV-1a 64-bit with wraparound, over the characters of `w`. */
+  private def fnvSql(w: String): String =
+    "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      s"list_transform(string_split($w, ''), c -> unicode(c)::HUGEINT)), " +
+      s"(acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT) % $TwoPow64)"
+
+  /** Reinterpret an unsigned 64-bit HUGEINT value as a signed BIGINT. */
+  private def toSignedSql(u: String): String =
+    s"CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT THEN $u - $TwoPow64 ELSE $u END AS BIGINT)"
+
+  private lazy val simhashOracleSql: String = {
+    "WITH h AS (SELECT doc_id, " +
+      s"list_transform(string_split(text, ' '), w -> ${fnvSql("w")}) AS hashes FROM documents), " +
+      "u AS (SELECT doc_id, list_sum(list_transform(range(0, 64), bit -> " +
+      "CASE WHEN 2 * len(list_filter(hashes, h -> (h // (1::HUGEINT << bit)) % 2 = 1)) > len(hashes) " +
+      "THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END))::HUGEINT AS su FROM h) " +
+      s"SELECT doc_id, ${toSignedSql("su")} AS simhash FROM u"
+  }
+
+  private lazy val minhashBandsOracleSql: String = {
+    val (as, bs) = Dedup.minhashCoefficients(64, 42L)
+    val aLit = as.map(a => s"$a::HUGEINT").mkString("[", ",", "]")
+    val bLit = bs.map(b => s"$b::HUGEINT").mkString("[", ",", "]")
+    val shingle = "words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]"
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words, text FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN " +
+      s"[(${fnvSql("text")}) % 2305843009213693952::HUGEINT] " +
+      "ELSE list_transform(range(0, len(words) - 2), i -> " +
+      s"(${fnvSql(shingle)}) % 2305843009213693952::HUGEINT) END AS xs FROM w), " +
+      "sig AS (SELECT doc_id, list_transform(range(1, 65), j -> " +
+      s"list_min(list_transform(xs, x -> ($aLit[j] * x + $bLit[j]) % 2305843009213693951::HUGEINT))) AS sigs FROM sh), " +
+      "bands AS (SELECT doc_id, t.band, sigs FROM sig, range(0, 16) t(band)), " +
+      "bh AS (SELECT doc_id, band, list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "[sigs[band*4+1], sigs[band*4+2], sigs[band*4+3], sigs[band*4+4]]), " +
+      s"(acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT) % $TwoPow64) AS u FROM bands) " +
+      s"SELECT doc_id, CAST(band AS BIGINT) AS band, ${toSignedSql("u")} AS band_hash FROM bh"
+  }
+
+  /** The random-hyperplane bucket id as a closed-form SQL expression: every
+    * plane value is an exact dyadic rational (k/2^23), and the dot product
+    * accumulates left-to-right in double — bit-identical to
+    * [[Similarity.bucketOf]].
+    */
+  private lazy val lshBucketExprSql: String = {
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    planes.zipWithIndex.map { case (row, p) =>
+      val dot = row.zipWithIndex.map { case (v, i) =>
+        s"embedding[${i + 1}]*(${(v.toDouble * 8388608.0).toLong}/8388608.0)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  private lazy val lshTopKOracleSql: String = {
+    val probeList = "[bucket" + (0 until 8).map(p => s", xor(bucket, ${1 << p})").mkString + "]"
+    s"WITH bucketed AS (SELECT vec_id, embedding, CAST($lshBucketExprSql AS BIGINT) AS bucket FROM embeddings), " +
+      s"probes AS (SELECT vec_id AS query_id, embedding AS q_embedding, unnest($probeList) AS bucket " +
+      "FROM bucketed WHERE vec_id < 20), " +
+      "scored AS (SELECT p.query_id, b.vec_id AS neighbor_id, " +
+      "list_cosine_similarity(p.q_embedding, b.embedding) AS sim " +
+      "FROM probes p JOIN bucketed b USING (bucket) WHERE b.vec_id != p.query_id) " +
+      "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank, " +
+      "neighbor_id FROM scored QUALIFY rank <= 5"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_visible_text" ->
@@ -378,6 +538,31 @@ object SparkEntry {
 
     "q_parse_stream" ->
       "SELECT doc_id, text AS extracted_text FROM documents",
+
+    "q_adv_adoption" ->
+      "SELECT doc_id, lang || ' ' || text || ' ' || source AS extracted_text FROM documents",
+
+    "q_adv_foster" ->
+      (s"SELECT doc_id, lang || $NL || $NL || text AS extracted_text, " +
+        "CAST(1 AS BIGINT) AS n_errors, 'unexpected-character-in-table' AS first_error FROM documents"),
+
+    "q_adv_entities" ->
+      (s"SELECT doc_id, text || ' ' || chr(8211) || ' ' || chr(169) || ' A &' AS extracted_text, " +
+        "CAST(1 AS BIGINT) AS n_errors, 'missing-semicolon-after-character-reference' AS first_error FROM documents"),
+
+    "q_adv_soup" ->
+      (s"SELECT doc_id, lang || $NL || $NL || text || $NL || $NL || source AS extracted_text, " +
+        "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN CAST(0 AS BIGINT) ELSE 1 END AS n_errors, " +
+        "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN '' ELSE 'unexpected-cell-in-table-body' END AS first_error " +
+        "FROM documents"),
+
+    "q_adv_bytes_utf16" ->
+      ("SELECT doc_id, text AS extracted_text, " +
+        "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 'utf-16le' ELSE 'utf-16be' END AS encoding FROM documents"),
+
+    "q_adv_budget" ->
+      ("SELECT doc_id, CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN '' ELSE text END AS extracted_text, " +
+        "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 'budget:maxDepth' ELSE '' END AS budget_error FROM documents"),
 
     "q_textcontent" ->
       "SELECT doc_id, ' ' || lang || '  ' || source AS extracted_text FROM documents",
@@ -465,6 +650,15 @@ object SparkEntry {
         "(PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS BIGINT) AS rank, " +
         "b.vec_id AS neighbor_id FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id " +
         "WHERE a.vec_id < 20 QUALIFY rank <= 5"),
+
+    "q_ann_lsh_buckets" ->
+      s"SELECT vec_id, CAST($lshBucketExprSql AS BIGINT) AS bucket FROM embeddings",
+
+    "q_ann_lsh_topk" -> lshTopKOracleSql,
+
+    "q_simhash" -> simhashOracleSql,
+
+    "q_minhash_bands" -> minhashBandsOracleSql,
 
     "q_multimodal" ->
       ("SELECT doc_id, length(text) AS n_bytes, " +

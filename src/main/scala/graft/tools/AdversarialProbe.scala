@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.core._
+
+/** Scratch probe: print the engine's exact visibleText / error output for
+  * the adversarial templates used by the q_adversarial_* driver queries, so
+  * the closed-form DuckDB oracles can be written (and audited) against real
+  * behavior. Stand-ins: lang=alpha text="beta one two" source=gamma.
+  */
+object AdversarialProbe {
+  def main(args: Array[String]): Unit = {
+    val lang = "alpha"; val text = "beta one two"; val source = "gamma"
+
+    def show(name: String, html: String): Unit = {
+      val tree = HtmlParser.parse(html)
+      val vt = VisibleText.ofDocument(tree)
+      println(s"== $name")
+      println(s"   html: $html")
+      println(s"   vt  : ${vt.replace("\n", "\\n").replace("\t", "\\t")}")
+      println(s"   errs: ${tree.errors.length} ${tree.errors.take(4).map(_.parseErrorId).mkString(",")}")
+    }
+
+    show("adoption", s"<p><b>$lang <i>$text</b> $source</i></p>")
+    show("foster", s"<table>$lang<tr><td>$text</td></tr></table>")
+    show("entities", s"<p>$text &#150; &#xA9; &#65; &amp</p>")
+    show("soup", s"<p>$lang<p>$text<div>$source")
+    show("comment-eof", s"<p>$lang</p><!-- $text")
+    show("misnested-table", s"<b><table><td>$lang</td><tr><td>$text</table></b>$source")
+
+    // utf-16 bytes path
+    val html16 = s"<p>$text</p>"
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ html16.getBytes("UTF-16LE")
+    val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++ html16.getBytes("UTF-16BE")
+    println("== utf16le vt: " + VisibleText.ofDocument(HtmlParser.parseBytes(le)))
+    println("== utf16be vt: " + VisibleText.ofDocument(HtmlParser.parseBytes(be)))
+
+    // budget trip: deep nesting
+    val deep = "<div>" * 300 + text + "</div>" * 300
+    try {
+      val t = HtmlParser.parse(deep, ParseOptions(budgets = Some(Budgets(maxDepth = Some(256)))))
+      println("== deep: no throw, errors=" + t.errors.map(_.parseErrorId).mkString(","))
+    } catch {
+      case e: BudgetExceededException =>
+        println(s"== deep threw: budget=${e.payload.budget} limit=${e.payload.limit} actual=${e.payload.actual}")
+    }
+    val shallow = "<div>" * 10 + text + "</div>" * 10
+    try {
+      val t = HtmlParser.parse(shallow, ParseOptions(budgets = Some(Budgets(maxDepth = Some(256)))))
+      println("== shallow ok vt=" + VisibleText.ofDocument(t))
+    } catch {
+      case e: BudgetExceededException => println("== shallow threw " + e.payload.budget)
+    }
+  }
+}
