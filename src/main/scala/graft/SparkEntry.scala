@@ -66,6 +66,8 @@ object SparkEntry {
   final case class IdFingerprint(doc_id: Long, fp: Long)
   final case class IdTextErrors(doc_id: Long, extracted_text: String,
                                 n_errors: Long, first_error: String)
+  final case class IdTrace(doc_id: Long, n_events: Long, n_transitions: Long,
+                           n_parse_errors: Long, n_tokens: Long, last_to_mode: String)
   final case class IdTextEnc(doc_id: Long, extracted_text: String, encoding: String)
   final case class IdTextBudget(doc_id: Long, extracted_text: String, budget_error: String)
 
@@ -216,6 +218,24 @@ object SparkEntry {
           }
         }.toDF()
     }),
+
+    "q_trace" -> ((s, dir) =>
+      // trace observability: event/transition/error/token counts per doc,
+      // across well-formed, foster-parenting, and misnested templates
+      overHtml[IdTrace](s, dir,
+        "CASE CAST(doc_id % 3 AS INT) " +
+          "WHEN 0 THEN concat('<p>', text, '</p>') " +
+          "WHEN 1 THEN concat('<table>', lang, '<tr><td>', text, '</td></tr></table>') " +
+          "ELSE concat('<p><b>', lang, ' <i>', text, '</b> ', source, '</i></p>') END") {
+        (id, h) =>
+          val tree = HtmlParser.parse(h, ParseOptions(trace = true))
+          val ev = tree.trace.get
+          val trans = ev.collect { case t: TraceInsertionModeTransitionEvent => t }
+          IdTrace(id, ev.length.toLong, trans.length.toLong,
+            ev.count(_.kind == "parseError").toLong,
+            ev.collectFirst { case t: TraceTokenEvent => t.count.toLong }.get,
+            trans.lastOption.map(_.toMode).getOrElse(""))
+      }),
 
     // ---- parse diagnostics / spans / tokens ----------------------------
     "q_spans" -> ((s, dir) =>
@@ -563,6 +583,14 @@ object SparkEntry {
     "q_adv_budget" ->
       ("SELECT doc_id, CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN '' ELSE text END AS extracted_text, " +
         "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 'budget:maxDepth' ELSE '' END AS budget_error FROM documents"),
+
+    "q_trace" ->
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN CAST(11 AS BIGINT) WHEN 1 THEN 22 ELSE 11 END AS n_events, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN CAST(5 AS BIGINT) WHEN 1 THEN 15 ELSE 5 END AS n_transitions, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN CAST(1 AS BIGINT) ELSE 0 END AS n_parse_errors, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN CAST(4 AS BIGINT) WHEN 1 THEN 9 ELSE 10 END AS n_tokens, " +
+        "'IN_BODY' AS last_to_mode FROM documents"),
 
     "q_textcontent" ->
       "SELECT doc_id, ' ' || lang || '  ' || source AS extracted_text FROM documents",

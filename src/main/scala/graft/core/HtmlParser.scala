@@ -38,34 +38,81 @@ object HtmlParser {
   private def enforceInt(budget: String, limit: Option[Int], actual: Long): Unit =
     enforce(budget, limit.map(_.toLong), actual)
 
+  /** Shared trace plumbing for parse/parseFragment: pre-build events
+    * (decode/input, maxInputBytes budget, token count) and the post-build
+    * replay (tree-mutation, transitions, parse errors, node/depth budgets),
+    * matching the reference's event order (mod.ts:475-588).
+    */
+  private final class TraceState(html: String, budgets: Option[Budgets]) {
+    val buffer = new TraceBuffer(budgets)
+    val transitions = new ArrayBuffer[TreeBuilder.ModeTransition]
+    def onTransition: TreeBuilder.ModeTransition => Unit = transitions += _
+
+    def pushPreBuild(): Unit = {
+      buffer.push(seq => TraceDecodeEvent(seq, "input", "utf-8", "input"))
+      buffer.pushBudget("maxInputBytes",
+        budgets.flatMap(_.maxInputBytes).map(_.toLong), html.length.toLong)
+      // the token-count event reflects the merged public token stream; the
+      // extra tokenize pass runs only under trace (the reference always
+      // double-tokenizes — mod.ts:492-498 — we pay it only when observing)
+      val count = TokenizeApi.tokenize(html).tokens.length
+      buffer.push(seq => TraceTokenEvent(seq, count))
+    }
+
+    def pushPostBuild(totalNodes: Int, maxDepth: Int, errors: ArrayBuffer[ErrRec]): Unit = {
+      buffer.push(seq => TraceTreeMutationEvent(seq, totalNodes, errors.length))
+      transitions.foreach { t =>
+        buffer.push(seq => TraceInsertionModeTransitionEvent(seq, t.fromMode, t.toMode,
+          Option(t.tokenType), Option(t.tokenTagName),
+          if (t.tokenStart >= 0) Some(t.tokenStart) else None,
+          if (t.tokenEnd >= 0) Some(t.tokenEnd) else None))
+      }
+      errors.foreach { e =>
+        if (e.hasSpan)
+          buffer.push(seq => TraceParseErrorEvent(seq,
+            normalizeParseErrorId(e.code), Some(e.start), Some(e.end)))
+      }
+      buffer.pushBudget("maxNodes", budgets.flatMap(_.maxNodes).map(_.toLong), totalNodes.toLong)
+      buffer.pushBudget("maxDepth", budgets.flatMap(_.maxDepth).map(_.toLong), maxDepth.toLong)
+    }
+  }
+
   // ------------------------------------------------------------------
   /** Parse a complete HTML document. */
   def parse(html: String, options: ParseOptions = ParseOptions()): DocumentTree = {
     val startedAt = System.currentTimeMillis()
     val budgets = options.budgets
     enforceInt("maxInputBytes", budgets.flatMap(_.maxInputBytes), html.length.toLong)
+    val trace = if (options.trace) new TraceState(html, budgets) else null
+    if (trace != null) trace.pushPreBuild()
 
     val errors = new ArrayBuffer[ErrRec]
     val builder = new TreeBuilder(
       html,
       options.scriptingEnabled,
       options.captureSpans,
-      (code, s, e) => errors += new ErrRec(code, s, e, true)
+      (code, s, e) => errors += new ErrRec(code, s, e, true),
+      if (trace != null) trace.onTransition else null
     )
     val dom = builder.parseDocument()
     CompatPatch.patchSelectAdoption(dom)
 
     val (children, _) = convertChildren(dom.children, options.captureSpans, budgets, errors)
-    // metrics walk only when a budget actually needs it (hot path skips it)
-    if (budgets.exists(b => b.maxNodes.isDefined || b.maxDepth.isDefined)) {
-      val metrics = collectMetrics(children)
-      enforceInt("maxNodes", budgets.flatMap(_.maxNodes), metrics._1.toLong + 1L)
-      enforceInt("maxDepth", budgets.flatMap(_.maxDepth), metrics._2.toLong)
-    }
+    // metrics walk only when a budget or trace actually needs it
+    val metrics =
+      if (trace != null || budgets.exists(b => b.maxNodes.isDefined || b.maxDepth.isDefined)) {
+        val m = collectMetrics(children)
+        enforceInt("maxNodes", budgets.flatMap(_.maxNodes), m._1.toLong + 1L)
+        enforceInt("maxDepth", budgets.flatMap(_.maxDepth), m._2.toLong)
+        m
+      } else (0, 0)
     enforce("maxTimeMs", budgets.flatMap(_.maxTimeMs),
       System.currentTimeMillis() - startedAt)
 
-    DocumentTree(1, children, toParseErrors(errors))
+    if (trace != null) {
+      trace.pushPostBuild(metrics._1 + 1, metrics._2, errors)
+      DocumentTree(1, children, toParseErrors(errors), Some(trace.buffer.result()))
+    } else DocumentTree(1, children, toParseErrors(errors))
   }
 
   /** Parse an HTML fragment in the given context tag name. */
@@ -79,13 +126,16 @@ object HtmlParser {
     val normalizedContext = contextTagName.trim.toLowerCase
     require(normalizedContext.nonEmpty, "contextTagName must be a non-empty tag name")
     enforceInt("maxInputBytes", budgets.flatMap(_.maxInputBytes), html.length.toLong)
+    val trace = if (options.trace) new TraceState(html, budgets) else null
+    if (trace != null) trace.pushPreBuild()
 
     val errors = new ArrayBuffer[ErrRec]
     val builder = new TreeBuilder(
       html,
       options.scriptingEnabled,
       options.captureSpans,
-      (code, s, e) => errors += new ErrRec(code, s, e, true)
+      (code, s, e) => errors += new ErrRec(code, s, e, true),
+      if (trace != null) trace.onTransition else null
     )
     val root = builder.parseFragment(normalizedContext)
     CompatPatch.patchSelectAdoption(builder.document)
@@ -99,14 +149,29 @@ object HtmlParser {
     enforce("maxTimeMs", budgets.flatMap(_.maxTimeMs),
       System.currentTimeMillis() - startedAt)
 
-    FragmentTree(1, normalizedContext, children, toParseErrors(errors))
+    if (trace != null) {
+      trace.pushPostBuild(totalNodes, metrics._2, errors)
+      FragmentTree(1, normalizedContext, children, toParseErrors(errors),
+        Some(trace.buffer.result()))
+    } else FragmentTree(1, normalizedContext, children, toParseErrors(errors))
   }
 
-  /** Sniff encoding, decode, parse (reference: src/public/mod.ts:600-634). */
+  /** Sniff encoding, decode, parse (reference: src/public/mod.ts:600-634).
+    * Under trace, a decode(sniff) event is appended after the parse events.
+    */
   def parseBytes(bytes: Array[Byte], options: ParseOptions = ParseOptions()): DocumentTree = {
     enforceInt("maxInputBytes", options.budgets.flatMap(_.maxInputBytes), bytes.length.toLong)
     val decoded = EncodingSniff.decodeHtmlBytes(bytes, options.transportEncodingLabel)
-    parse(decoded._1, options)
+    val parsed = parse(decoded._1, options)
+    parsed.trace match {
+      case Some(events) =>
+        val buf = new TraceBuffer(options.budgets)
+        events.foreach(e => buf.push(_ => e))
+        buf.push(seq => TraceDecodeEvent(seq, "sniff",
+          decoded._2.encoding, decoded._2.source))
+        parsed.copy(trace = Some(buf.result()))
+      case None => parsed
+    }
   }
 
   // ------------------------------------------------------------------

@@ -77,11 +77,14 @@ final case class ParseError(
     span: Option[Span]
 )
 
-/** Tree root: a parsed document (reference: src/public/types.ts:208-214). */
+/** Tree root: a parsed document (reference: src/public/types.ts:208-214).
+  * `trace` is present only when parsed with `ParseOptions(trace = true)`.
+  */
 final case class DocumentTree(
     id: Int,
     children: Vector[HtmlNode],
-    errors: Vector[ParseError]
+    errors: Vector[ParseError],
+    trace: Option[Vector[TraceEvent]] = None
 ) {
   def kind: String = "document"
 }
@@ -91,7 +94,8 @@ final case class FragmentTree(
     id: Int,
     contextTagName: String,
     children: Vector[HtmlNode],
-    errors: Vector[ParseError]
+    errors: Vector[ParseError],
+    trace: Option[Vector[TraceEvent]] = None
 ) {
   def kind: String = "fragment"
 }
@@ -108,7 +112,9 @@ final case class Budgets(
     maxDepth: Option[Int] = None,
     maxAttributesPerElement: Option[Int] = None,
     maxAttributeBytes: Option[Int] = None,
-    maxTimeMs: Option[Long] = None
+    maxTimeMs: Option[Long] = None,
+    maxTraceEvents: Option[Int] = None,
+    maxTraceBytes: Option[Int] = None
 )
 
 final case class BudgetExceededPayload(budget: String, limit: Long, actual: Long)
@@ -122,7 +128,8 @@ final case class ParseOptions(
     captureSpans: Boolean = false,
     budgets: Option[Budgets] = None,
     scriptingEnabled: Boolean = true,
-    transportEncodingLabel: Option[String] = None
+    transportEncodingLabel: Option[String] = None,
+    trace: Boolean = false
 )
 
 /** Options for visible-text extraction (reference: src/public/mod.ts:1035-1040). */

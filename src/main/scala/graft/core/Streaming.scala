@@ -25,7 +25,7 @@ object Streaming {
   private val PrescanBytes = 16 * 1024
 
   final case class DecodedStream(text: String, sniff: EncodingSniff.SniffResult,
-                                 bytesIn: Long)
+                                 bytesIn: Long, maxBufferedObserved: Long = 0L)
 
   /** Decode a chunked byte stream to text with sniffing + budgets. */
   def decodeStreamToText(
@@ -101,6 +101,7 @@ object Streaming {
       case _                                  => 0
     }
     feed(headBytes, bomSkip, endOfInput = reachedEnd)
+    var maxBuffered = headBytes.length.toLong
     while (rest.hasNext) {
       val chunk = rest.next()
       bytesIn += chunk.length
@@ -108,6 +109,7 @@ object Streaming {
       // post-sniff the reference bounds only the single in-flight chunk
       // (mod.ts:845), not the cumulative decoded text
       checkBytes("maxBufferedBytes", budgets.flatMap(_.maxBufferedBytes), chunk.length.toLong)
+      if (chunk.length.toLong > maxBuffered) maxBuffered = chunk.length.toLong
       feed(chunk, 0, endOfInput = !rest.hasNext)
     }
 
@@ -115,17 +117,33 @@ object Streaming {
     // a leading BOM char decoded from content is stripped (TextDecoder parity)
     if (bomSkip == 0 && text.nonEmpty && text.charAt(0) == '﻿')
       text = text.substring(1)
-    DecodedStream(text, sniff, bytesIn)
+    DecodedStream(text, sniff, bytesIn, maxBuffered)
   }
 
-  /** Chunked bytes → DocumentTree (reference parseStream, mod.ts:902-936). */
+  /** Chunked bytes → DocumentTree (reference parseStream, mod.ts:902-936).
+    * Under trace, decode(sniff) + stream + maxBufferedBytes budget events
+    * are appended after the parse events (mod.ts:912-930).
+    */
   def parseStream(
       chunks: Iterator[Array[Byte]],
       options: ParseOptions = ParseOptions(),
       transportEncodingLabel: Option[String] = None
   ): DocumentTree = {
     val decoded = decodeStreamToText(chunks, transportEncodingLabel, options.budgets)
-    HtmlParser.parse(decoded.text, options)
+    val parsed = HtmlParser.parse(decoded.text, options)
+    parsed.trace match {
+      case Some(events) =>
+        val buf = new TraceBuffer(options.budgets)
+        events.foreach(e => buf.push(_ => e))
+        buf.push(seq => TraceDecodeEvent(seq, "sniff",
+          decoded.sniff.encoding, decoded.sniff.source))
+        buf.push(seq => TraceStreamEvent(seq, decoded.bytesIn))
+        buf.pushBudget("maxBufferedBytes",
+          options.budgets.flatMap(_.maxBufferedBytes).map(_.toLong),
+          decoded.maxBufferedObserved)
+        parsed.copy(trace = Some(buf.result()))
+      case None => parsed
+    }
   }
 
   /** Chunked bytes → token iterator (reference tokenizeStream, mod.ts:886-896:

@@ -36,6 +36,29 @@ object InsertionMode {
   final val AfterFrameset = 20
   final val AfterAfterBody = 21
   final val AfterAfterFrameset = 22
+
+  /** parse5-style mode names for trace events (reference:
+    * src/internal/vendor/parse5/parser/index.js:17-42,59-65).
+    */
+  private val Names = Array(
+    "INITIAL", "BEFORE_HTML", "BEFORE_HEAD", "IN_HEAD", "IN_HEAD_NO_SCRIPT",
+    "AFTER_HEAD", "IN_BODY", "TEXT", "IN_TABLE", "IN_TABLE_TEXT", "IN_CAPTION",
+    "IN_COLUMN_GROUP", "IN_TABLE_BODY", "IN_ROW", "IN_CELL", "IN_SELECT",
+    "IN_SELECT_IN_TABLE", "IN_TEMPLATE", "AFTER_BODY", "IN_FRAMESET",
+    "AFTER_FRAMESET", "AFTER_AFTER_BODY", "AFTER_AFTER_FRAMESET")
+
+  def name(mode: Int): String =
+    if (mode >= 0 && mode < Names.length) Names(mode) else mode.toString
+}
+
+object TreeBuilder {
+  /** One insertion-mode change plus the token being processed when it fired
+    * (reference: parser/index.js:203-230 instrumentation +
+    * summarizeTokenContext:66-90). Offsets are -1 when unknown.
+    */
+  final case class ModeTransition(fromMode: String, toMode: String,
+                                  tokenType: String, tokenTagName: String,
+                                  tokenStart: Int, tokenEnd: Int)
 }
 
 final class AfeEntry(
@@ -51,7 +74,8 @@ final class TreeBuilder(
     input: String,
     scriptingEnabled: Boolean,
     captureSpans: Boolean,
-    onError: (String, Int, Int) => Unit
+    onError: (String, Int, Int) => Unit,
+    onModeTransition: TreeBuilder.ModeTransition => Unit = null
 ) extends TokenSink {
   import InsertionMode._
 
@@ -62,7 +86,22 @@ final class TreeBuilder(
   private var fragmentContext: DomElement = null
   private var fragmentRoot: DomElement = null
 
-  private var mode: Int = Initial
+  private var modeVar: Int = Initial
+
+  @inline private def mode: Int = modeVar
+
+  /** Every insertion-mode change funnels through this setter so the opt-in
+    * trace callback observes transitions exactly where they happen.
+    */
+  private def mode_=(next: Int): Unit = {
+    val prev = modeVar
+    modeVar = next
+    if (onModeTransition != null && prev != next)
+      onModeTransition(TreeBuilder.ModeTransition(
+        InsertionMode.name(prev), InsertionMode.name(next),
+        curTokType, curTokTagName, curTokStart, curTokEnd))
+  }
+
   private var originalMode: Int = Initial
   private val templateModes = new ArrayBuffer[Int]
   private val stack = new ArrayBuffer[DomElement](16)
@@ -81,6 +120,13 @@ final class TreeBuilder(
   private var curTokStart = -1
   private var curTokEnd = -1
   private var curTokEndTagName: String = null
+  // current-token summary for trace mode transitions (parse5 TokenType names)
+  private var curTokType: String = null
+  private var curTokTagName: String = null
+
+  @inline private def setTokContext(tpe: String, tagName: String): Unit = {
+    curTokType = tpe; curTokTagName = tagName
+  }
 
   private def err(code: String, start: Int, end: Int): Unit =
     onError(code, start, end)
@@ -739,6 +785,7 @@ final class TreeBuilder(
   override def onChars(data0: String, start: Int, end: Int): Unit = {
     if (stopped) return
     curTokStart = start; curTokEnd = end; curTokEndTagName = null
+    setTokContext("CHARACTER", null)
     val data = applyIgnoreLf(data0)
     if (data.isEmpty) return
     if (useForeignRules(isStartTag = false, isChar = true, null)) {
@@ -750,6 +797,7 @@ final class TreeBuilder(
   override def onWhitespace(data0: String, start: Int, end: Int): Unit = {
     if (stopped) return
     curTokStart = start; curTokEnd = end; curTokEndTagName = null
+    setTokContext("WHITESPACE_CHARACTER", null)
     val data = applyIgnoreLf(data0)
     if (data.isEmpty) return
     if (useForeignRules(isStartTag = false, isChar = true, null)) {
@@ -760,6 +808,7 @@ final class TreeBuilder(
   override def onNull(start: Int): Unit = {
     if (stopped) return
     curTokStart = start; curTokEnd = start + 1; curTokEndTagName = null
+    setTokContext("NULL_CHARACTER", null)
     ignoreNextLf = false
     if (useForeignRules(isStartTag = false, isChar = true, null)) {
       err("unexpected-null-character", start, start + 1)
@@ -780,6 +829,7 @@ final class TreeBuilder(
   override def onStartTag(tag: TagToken): Unit = {
     if (stopped) return
     curTokStart = tag.start; curTokEnd = tag.end; curTokEndTagName = null
+    setTokContext("START_TAG", tag.name)
     ignoreNextLf = false
     if (useForeignRules(isStartTag = true, isChar = false, tag.name))
       foreignStartTag(tag)
@@ -789,6 +839,7 @@ final class TreeBuilder(
   override def onEndTag(tag: TagToken): Unit = {
     if (stopped) return
     curTokStart = tag.start; curTokEnd = tag.end; curTokEndTagName = tag.name
+    setTokContext("END_TAG", tag.name)
     ignoreNextLf = false
     if (useForeignRules(isStartTag = false, isChar = false, tag.name))
       foreignEndTag(tag)
@@ -799,6 +850,7 @@ final class TreeBuilder(
   override def onComment(data: String, start: Int, end: Int): Unit = {
     if (stopped) return
     curTokStart = start; curTokEnd = end; curTokEndTagName = null
+    setTokContext("COMMENT", null)
     ignoreNextLf = false
     if (mode == InTableText) { flushTableText(); mode = originalMode }
     mode match {
@@ -814,6 +866,7 @@ final class TreeBuilder(
   override def onDoctype(d: DoctypeTok): Unit = {
     if (stopped) return
     curTokStart = d.start; curTokEnd = d.end; curTokEndTagName = null
+    setTokContext("DOCTYPE", null)
     ignoreNextLf = false
     mode match {
       case Initial =>
@@ -840,6 +893,7 @@ final class TreeBuilder(
   override def onEof(pos: Int): Unit = {
     if (stopped) return
     curTokStart = pos; curTokEnd = pos; curTokEndTagName = null
+    setTokContext("EOF", null)
     processEof(pos)
     // finalize spans for everything still open
     while (stack.nonEmpty) {

@@ -52,3 +52,21 @@ object AdversarialProbe {
     }
   }
 }
+
+object TraceProbe {
+  def main(args: Array[String]): Unit = {
+    val lang = "alpha"; val text = "beta one two"; val source = "gamma"
+    def show(name: String, html: String): Unit = {
+      val tree = graft.core.HtmlParser.parse(html,
+        graft.core.ParseOptions(trace = true))
+      val ev = tree.trace.get
+      val trans = ev.collect { case t: graft.core.TraceInsertionModeTransitionEvent => t }
+      val perr = ev.collect { case p: graft.core.TraceParseErrorEvent => p }
+      val tok = ev.collect { case t: graft.core.TraceTokenEvent => t.count }.head
+      println(s"$name: n_events=${ev.length} n_transitions=${trans.length} n_perr=${perr.length} n_tokens=$tok last_to=${trans.last.toMode}")
+    }
+    show("plain", s"<p>$text</p>")
+    show("table", s"<table>$lang<tr><td>$text</td></tr></table>")
+    show("misnest", s"<p><b>$lang <i>$text</b> $source</i></p>")
+  }
+}
