@@ -174,6 +174,16 @@ object HtmlParser {
     }
   }
 
+  /** Tokens → tree by serializing the stream back to HTML and re-parsing
+    * (the reference's buildTreeFromTokens trick,
+    * src/internal/tree/build.ts:579-582): the token serializer escapes text
+    * and re-quotes attributes, so behavior matches the reference exactly —
+    * including its escaping of rawtext content on the round trip.
+    */
+  def parseTokens(tokens: Seq[HtmlToken],
+                  options: ParseOptions = ParseOptions()): DocumentTree =
+    parse(TokenizeApi.serializeForReparse(tokens), options)
+
   // ------------------------------------------------------------------
   // conversion: internal DOM -> public immutable tree
   private final class IdAssigner { private var n = 1; def next(): Int = { n += 1; n } }

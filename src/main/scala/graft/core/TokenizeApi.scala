@@ -30,7 +30,9 @@ final case class TokenizeOpts(
     initialState: String = "Data state",
     lastStartTag: String = "",
     cdata: Boolean = false,
-    maxParseErrors: Option[Int] = None
+    maxParseErrors: Option[Int] = None,
+    doubleEscaped: Boolean = false,
+    xmlViolationMode: Boolean = false
 )
 
 final case class TokenizeResult(tokens: Vector[HtmlToken], errors: Vector[TokenizerError])
@@ -46,11 +48,43 @@ object TokenizeApi {
     "CDATA section state" -> TokenizerState.CdataSection
   )
 
-  private final class CollectingSink(opts: TokenizeOpts) extends TokenSink {
+  /** html5lib-fixture token post-normalizers (reference: tokenize.ts:28-66):
+    * the doubleEscaped / xmlViolation fixture modes rewrite character and
+    * comment data after tokenization.
+    */
+  private def normalizeCharacterData(value: String, input: String,
+                                     opts: TokenizeOpts): String = {
+    var v = value
+    if (opts.doubleEscaped && opts.initialState != "CDATA section state") {
+      v = v.replace("\u0000", "\uFFFD")
+      v = v.replace("\\u0000", "\\uFFFD")
+    }
+    if (opts.xmlViolationMode) {
+      v = v.replace('\uFFFE', '\uFFFD').replace('\uFFFF', '\uFFFD')
+      v = v.replace('\f', ' ')
+    }
+    if (opts.initialState == "CDATA section state" && opts.doubleEscaped &&
+        input.endsWith("]]>") && v.endsWith("]]>"))
+      v = v.substring(0, v.length - 3)
+    v
+  }
+
+  private def normalizeCommentData(value: String, opts: TokenizeOpts): String = {
+    var v = value
+    if (opts.doubleEscaped) {
+      v = v.replace("\u0000", "\uFFFD")
+      v = v.replace("\\u0000", "\\uFFFD")
+    }
+    if (opts.xmlViolationMode) v = v.replace("--", "- -")
+    v
+  }
+
+  private final class CollectingSink(input: String, opts: TokenizeOpts) extends TokenSink {
     val tokens = new ArrayBuffer[HtmlToken]
     val errors = new ArrayBuffer[TokenizerError]
 
-    private def pushChars(data: String): Unit = {
+    private def pushChars(data0: String): Unit = {
+      val data = normalizeCharacterData(data0, input, opts)
       tokens.lastOption match {
         case Some(CharsTok(prev)) =>
           tokens(tokens.length - 1) = CharsTok(prev + data)
@@ -69,7 +103,7 @@ object TokenizeApi {
       )
     override def onEndTag(tag: TagToken): Unit = tokens += EndTagTok(tag.name)
     override def onComment(data: String, start: Int, end: Int): Unit =
-      tokens += CommentTok(data)
+      tokens += CommentTok(normalizeCommentData(data, opts))
     override def onDoctype(d: DoctypeTok): Unit =
       tokens += DoctypeToken(
         if (d.name == null) "" else d.name,
@@ -87,12 +121,55 @@ object TokenizeApi {
   }
 
   def tokenize(input: String, opts: TokenizeOpts = TokenizeOpts()): TokenizeResult = {
-    val sink = new CollectingSink(opts)
+    val sink = new CollectingSink(input, opts)
     val tokenizer = new Tokenizer(input, sink)
     tokenizer.state = StateByName.getOrElse(opts.initialState, TokenizerState.Data)
     tokenizer.lastStartTagName = opts.lastStartTag.toLowerCase
     tokenizer.run()
+    // doubleEscaped comment re-interpretation hack (reference
+    // tokenize.ts:231-241): a whole-input `<!----!…-->` that tokenized to a
+    // single character run is re-read as one comment token
+    if (opts.doubleEscaped && input.startsWith("<!----!") && input.endsWith("-->") &&
+        sink.tokens.length == 2 && sink.tokens(0).isInstanceOf[CharsTok] &&
+        sink.tokens(1) == EofTok)
+      sink.tokens(0) = CommentTok(
+        normalizeCommentData(input.substring(4, input.length - 3), opts))
     TokenizeResult(sink.tokens.toVector, sink.errors.toVector)
+  }
+
+  /** Serialize a token stream back to HTML for re-parsing (reference
+    * buildTreeFromTokens' serializeTokens, src/internal/tree/build.ts:500-544):
+    * text is entity-escaped, attribute values are double-quoted with
+    * first-occurrence-wins dedup, EOF is dropped. Round-tripping through
+    * this form is how tokens become a tree — matching the reference's
+    * behavior exactly, including its escaping of rawtext content.
+    */
+  def serializeForReparse(tokens: Seq[HtmlToken]): String = {
+    val sb = new java.lang.StringBuilder
+    def escText(v: String): String =
+      v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def escAttr(v: String): String =
+      v.replace("&", "&amp;").replace("\"", "&quot;")
+    tokens.foreach {
+      case EofTok =>
+      case StartTagTok(name, attributes, selfClosing) =>
+        sb.append('<').append(name)
+        val seen = scala.collection.mutable.Set[String]()
+        attributes.foreach { case (n, v) =>
+          if (seen.add(n)) sb.append(' ').append(n).append("=\"").append(escAttr(v)).append('"')
+        }
+        sb.append(if (selfClosing) "/>" else ">")
+      case EndTagTok(name)  => sb.append("</").append(name).append('>')
+      case CharsTok(data)   => sb.append(escText(data))
+      case CommentTok(data) => sb.append("<!--").append(data).append("-->")
+      case DoctypeToken(name, publicId, systemId, _) =>
+        if (publicId.isDefined || systemId.isDefined)
+          sb.append("<!DOCTYPE ").append(name).append(" \"")
+            .append(publicId.getOrElse("")).append("\" \"")
+            .append(systemId.getOrElse("")).append("\">")
+        else sb.append("<!DOCTYPE ").append(name).append('>')
+    }
+    sb.toString
   }
 
   /** Per-document byte-stream tokenization: chunked bytes are decoded after
