@@ -167,12 +167,23 @@ object Bench {
     // Spark session exists: clean JVM, no competing GC state)
     val core = coreBench()
 
-    // 2. driver-contract per-query timings (local[32] — correctness surface)
+    // 2. driver-contract per-query timings (local[32] — correctness surface).
+    // One untimed warm-up pass absorbs session/codegen/parquet-footer costs
+    // (r1's first-query time was ~3x its steady state), then each query is
+    // timed 3 times and the MEDIAN reported.
     val queryTimes = withSession(32) { spark =>
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        name -> ((System.nanoTime() - t0) / 1e9, n)
+      val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      ordered.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      ordered.map { case (name, fn) =>
+        val timed = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val median = timed.map(_._1).sorted.apply(1)
+        name -> (median, timed.head._2)
       }
     }
 
@@ -199,16 +210,23 @@ object Bench {
         assert(runs.map(_._3).distinct.size == 1, "digest must be stable across runs")
         (runs.map(_._1), runs.head._2, runs.head._3)
       }
-    // more draws at the wider sizes: this sandbox host intermittently
-    // throttles when many vCPUs are busy, so peak runs carry the signal
-    val levels = Seq(1 -> 2, 2 -> 2, 4 -> 4, 8 -> 4)
+    // enough draws per size for a stable median: this sandbox host
+    // intermittently throttles when many vCPUs are busy, so we report every
+    // raw run plus BOTH the median (headline) and peak per size
+    val levels = Seq(1 -> 4, 2 -> 5, 4 -> 5, 8 -> 5)
       .map { case (e, r) => e -> timedAt(e, r) }.toMap
     val digests = levels.values.map(_._3).toSet
     val rowsSet = levels.values.map(_._2).toSet
-    def thr(e: Int): Double = levels(e)._1.max
-    val eff12 = (thr(2) / thr(1)) / 2.0
-    val eff14 = (thr(4) / thr(1)) / 4.0
-    val eff28 = (thr(8) / thr(2)) / 4.0
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    def thrMed(e: Int): Double = median(levels(e)._1)
+    def thrPeak(e: Int): Double = levels(e)._1.max
+    val eff12 = (thrMed(2) / thrMed(1)) / 2.0
+    val eff14 = (thrMed(4) / thrMed(1)) / 4.0
+    val eff28 = (thrMed(8) / thrMed(2)) / 4.0
+    val eff14Peak = (thrPeak(4) / thrPeak(1)) / 4.0
 
     def f(d: Double): String = f"$d%.3f".replace(",", ".")
     val qs = queryTimes.map { case (k, (sec, _)) => s""""$k":${f(sec)}""" }
@@ -218,13 +236,14 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""core":{"parse_medium_mb_per_sec":${f(core("parse_medium_mb_per_sec"))},""" +
       s""""parse_large_mb_per_sec":${f(core("parse_large_mb_per_sec"))}},""" +
-      s""""scaling":{"protocol":"local-cluster: separate executor JVM processes, 1 core + 1.5GiB pre-touched heap each, identical job+input, best-of-N timed runs per cluster size (all raw runs reported)",""" +
+      s""""scaling":{"protocol":"local-cluster: separate executor JVM processes, 1 core + 1.5GiB pre-touched heap each, identical job+input, 4-5 timed runs per cluster size; headline throughput and efficiencies are MEDIANS over runs (peaks also reported; all raw runs included)",""" +
       s""""turns":${levels(1)._2},""" +
       levels.toSeq.sortBy(_._1).map { case (e, (ts, _, _)) =>
-        s""""turns_per_sec_${e}_executors":${f(ts.max)},"runs_${e}_executors":[${ts.map(f).mkString(",")}]""" }.mkString(",") + "," +
+        s""""turns_per_sec_${e}_executors":${f(median(ts))},"peak_turns_per_sec_${e}_executors":${f(ts.max)},"runs_${e}_executors":[${ts.map(f).mkString(",")}]""" }.mkString(",") + "," +
       s""""efficiency_1_to_2_executors":${f(eff12)},""" +
       s""""efficiency_1_to_4_executors":${f(eff14)},""" +
       s""""efficiency_2_to_8_executors":${f(eff28)},""" +
+      s""""peak_efficiency_1_to_4_executors":${f(eff14Peak)},""" +
       s""""digest_match_across_cluster_sizes":${digests.size == 1 && rowsSet.size == 1}}}""")
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core._
 import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
-import graft.pipeline.{Extraction, TranscriptTurn, Transcripts}
+import graft.pipeline.{ConvDigest, Extraction, TranscriptTurn, Transcripts}
 
 /** Driver contract — one `queries` entry per implemented operator family
   * (SURVEY.md §2), with an exact DuckDB oracle wherever the expected result
@@ -355,6 +355,24 @@ object SparkEntry {
             "\n\n").as("conv_text"))
     }),
 
+    "q_conv_digest" -> ((s, dir) => {
+      // constant-size-per-group conversation checksum via a typed
+      // Aggregator — the scale-safe alternative to q_conv_agg's
+      // collect_list (no giant rows at 10^12 turns)
+      import s.implicits._
+      val turns = Transcripts.fromDocuments(s, dir)
+        .withColumn("turn_idx", col("turn_idx").cast("int")).as[TranscriptTurn]
+      Extraction.extract(turns)
+        .map(e => (e.conv_id, (e.turn_idx.toLong, e.extracted_text)))
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new ConvDigest.Agg().toColumn.name("st"))
+        .select(col("key").as("conv_id"),
+          col("st.n_turns").as("n_turns"),
+          col("st.digest").as("digest"),
+          col("st.n_chars").as("n_chars"))
+    }),
+
     "q_turn_order" -> ((s, dir) => {
       val turns = Transcripts.fromDocuments(s, dir)
       val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
@@ -638,6 +656,12 @@ object SparkEntry {
       (Transcripts.OracleCte +
         s" SELECT conv_id, count(*) AS n_turns, CAST(sum(length(text)) AS BIGINT) AS n_chars, " +
         s"string_agg(text, $NL || $NL ORDER BY turn_idx) AS conv_text FROM transcripts GROUP BY conv_id"),
+
+    "q_conv_digest" ->
+      (Transcripts.OracleCte +
+        s", h AS (SELECT conv_id, text, ${toSignedSql(fnvSql("(CAST(turn_idx AS VARCHAR) || ':' || text)"))} AS th FROM transcripts) " +
+        "SELECT conv_id, count(*) AS n_turns, bit_xor(th) AS digest, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars FROM h GROUP BY conv_id"),
 
     "q_turn_order" ->
       (Transcripts.OracleCte +

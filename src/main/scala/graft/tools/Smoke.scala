@@ -75,6 +75,22 @@ object Smoke {
     catch { case _: StackOverflowError => println("StackOverflowError as expected -> pipeline must use big-stack worker threads") }
     println("=== tokenize API ===")
     println(TokenizeApi.tokenize("<a href=x>T</a>&copy").tokens)
+    println("=== trace API ===")
+    val traced = HtmlParser.parse("<table><tr><td>a</td></tr>x</table>",
+      ParseOptions(trace = true))
+    println("trace kinds: " + traced.trace.get.map(_.kind).distinct.mkString(","))
+    println("trace events: " + traced.trace.get.length +
+      ", first json: " + traced.trace.get.head.toJson)
+    println("=== fixture serializer ===")
+    import FixtureSerializer._
+    println(FixtureSerializer.serialize(Seq(
+      FixtureStartTag(None, "p", Vector(FixtureAttr(None, "z", "1"), FixtureAttr(None, "a", "2"))),
+      FixtureCharacters("x"), FixtureEndTag(None, "p"),
+      FixtureStartTag(None, "p", Vector.empty), FixtureCharacters("y"),
+      FixtureEndTag(None, "p"))))
+    println("=== tokens -> tree (parseTokens) ===")
+    val viaTokens = HtmlParser.parseTokens(TokenizeApi.tokenize("<ul><li>1<li>2</ul>").tokens)
+    println(Serializer.serialize(viaTokens))
     println("DONE")
 
   }

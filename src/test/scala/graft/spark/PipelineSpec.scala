@@ -158,4 +158,24 @@ class PipelineSpec extends AnyFunSuite {
     }.collect().filter(_._2 > 0)
     assert(counts.length > 1, s"expected >1 partition, got ${counts.toSeq}")
   }
+
+  test("ConvDigest aggregator matches a local fold and is order-independent") {
+    import spark.implicits._
+    import graft.pipeline.ConvDigest
+    val turns = Seq(
+      ("c1", 0L, "alpha"), ("c1", 1L, "beta"), ("c1", 2L, "gamma"),
+      ("c2", 0L, "delta"), ("c2", 5L, ""))
+    val expected = turns.groupBy(_._1).map { case (c, ts) =>
+      c -> (ts.size.toLong,
+        ts.map(t => ConvDigest.turnHash(t._2, t._3)).reduce(_ ^ _),
+        ts.map(_._3.length.toLong).sum)
+    }
+    val out = spark.createDataset(turns).repartition(5) // scramble order
+      .map(t => (t._1, (t._2, t._3)))
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new ConvDigest.Agg().toColumn.name("st"))
+      .collect().map { case (c, st) => c -> (st.n_turns, st.digest, st.n_chars) }
+      .toMap
+    assert(out == expected)
+  }
 }
