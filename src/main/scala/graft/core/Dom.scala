@@ -56,6 +56,10 @@ final class DomElement(
   var templateContent: DomFragment = null
   // span bookkeeping (UTF-16 code-unit offsets into the original input)
   var startTagEnd: Int = -1
+  // lazily-computed scope/special bitmask (TreeBuilder.elFlags); -1 = unset.
+  // Safe to cache because tagName/namespace are fixed after the SVG
+  // case-adjust at creation time.
+  var scopeFlagsV: Int = -1
 
   def attr(n: String): String = {
     var i = 0

@@ -95,7 +95,7 @@ object HtmlParser {
       if (trace != null) trace.onTransition else null
     )
     val dom = builder.parseDocument()
-    CompatPatch.patchSelectAdoption(dom)
+    if (builder.sawSelect) CompatPatch.patchSelectAdoption(dom)
 
     val (children, _) = convertChildren(dom.children, options.captureSpans, budgets, errors)
     // metrics walk only when a budget or trace actually needs it
@@ -138,7 +138,7 @@ object HtmlParser {
       if (trace != null) trace.onTransition else null
     )
     val root = builder.parseFragment(normalizedContext)
-    CompatPatch.patchSelectAdoption(builder.document)
+    if (builder.sawSelect) CompatPatch.patchSelectAdoption(builder.document)
 
     val (children, _) = convertChildren(root.children, options.captureSpans, budgets, errors)
     val metrics = collectMetrics(children)

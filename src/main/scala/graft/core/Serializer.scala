@@ -150,14 +150,14 @@ object Serializer {
   def normalizedParse(html: String, scriptingEnabled: Boolean = true): String = {
     val builder = new TreeBuilder(html, scriptingEnabled, false, (_, _, _) => ())
     val dom = builder.parseDocument()
-    CompatPatch.patchSelectAdoption(dom)
+    if (builder.sawSelect) CompatPatch.patchSelectAdoption(dom)
     normalizeTree(dom)
   }
 
   def normalizedParseFragment(html: String, context: String, scriptingEnabled: Boolean = true): String = {
     val builder = new TreeBuilder(html, scriptingEnabled, false, (_, _, _) => ())
     val root = builder.parseFragment(context.trim.toLowerCase)
-    CompatPatch.patchSelectAdoption(builder.document)
+    if (builder.sawSelect) CompatPatch.patchSelectAdoption(builder.document)
     normalizeTree(root)
   }
 }

@@ -207,31 +207,47 @@ final class Tokenizer(input: String, sink: TokenSink) {
     * to the per-char loop; removes per-char dispatch from the hot path.
     */
   private def bulkPlainRun(stopAmp: Boolean, stopLt: Boolean): Unit = {
-    val cls = charIsWs
-    val from = pos
+    // multi-run scan: at a whitespace-class boundary the pending run is
+    // flushed here (identical to the emitChar class-change path) and the
+    // scan continues, so word-segmented text costs one state-machine entry
+    // per TEXT BLOCK instead of one per word
+    var cls = charIsWs
+    var from = pos
     var p = pos
     while (p < len) {
       val ch = input.charAt(p)
       if ((stopAmp && ch == '&') || (stopLt && ch == '<') ||
-          ch == '\u0000' || ch == '\r' || isWsChar(ch) != cls) {
-        p = -1 - p // encode stop
+          ch == '\u0000' || ch == '\r') {
+        charBuf.underlying.append(input, from, p); pos = p; charEnd = p
+        return
+      } else if (isWsChar(ch) != cls) {
+        charBuf.underlying.append(input, from, p)
+        pos = p; charEnd = p
+        flushChars()
+        cls = !cls
+        charStart = p
+        charIsWs = cls
+        from = p
+        p += 1
       } else p += 1
-      if (p < 0) { p = -1 - p; charBuf.underlying.append(input, from, p); pos = p; charEnd = p; return }
     }
     charBuf.underlying.append(input, from, p); pos = p; charEnd = p
   }
 
   /** Bulk-append a run of ordinary chars into `buf`, lowercasing if asked.
-    * Stops BEFORE any char in `stops`, '\r' (normalization), NUL, or — when
-    * `lower` — an ASCII uppercase letter (handled by the per-char path).
-    * Shares exact semantics with the per-char state loops.
+    * Stops BEFORE any char whose bit is set in the (m0, m1) ASCII stop mask
+    * (which always includes NUL and CR) or, when `lower`, an ASCII
+    * uppercase letter (handled by the per-char path); non-ASCII chars never
+    * stop. Shares exact semantics with the per-char state loops; the
+    * bitmask replaces a per-char String.indexOf scan.
     */
-  private def bulkInto(buf: StringBuilder, stops: String, lower: Boolean): Unit = {
+  private def bulkInto(buf: StringBuilder, m0: Long, m1: Long, lower: Boolean): Unit = {
     val from = pos
     var p = pos
     while (p < len) {
       val ch = input.charAt(p)
-      if (ch == '\u0000' || ch == '\r' || stops.indexOf(ch) >= 0 ||
+      if ((ch < 64 && ((m0 >>> ch) & 1L) != 0) ||
+          (ch >= 64 && ch < 128 && ((m1 >>> (ch - 64)) & 1L) != 0) ||
           (lower && ch >= 'A' && ch <= 'Z')) {
         buf.underlying.append(input, from, p); pos = p; return
       }
@@ -239,6 +255,22 @@ final class Tokenizer(input: String, sink: TokenSink) {
     }
     buf.underlying.append(input, from, p); pos = p
   }
+
+  private def stopMask(chars: String): (Long, Long) = {
+    var m0 = (1L << 0) | (1L << 13) // NUL and CR always stop
+    var m1 = 0L
+    chars.foreach { c =>
+      require(c < 128)
+      if (c < 64) m0 |= 1L << c else m1 |= 1L << (c - 64)
+    }
+    (m0, m1)
+  }
+
+  private val TagNameStops = stopMask("\t\n\f />")
+  private val AttrNameStops = stopMask("\t\n\f />=\"'<")
+  private val AttrValDqStops = stopMask("\"&")
+  private val AttrValSqStops = stopMask("'&")
+  private val AttrValUqStops = stopMask("\t\n\f &>\"'<=`")
 
   // --- tag helpers ---
   private def startTag(isEnd: Boolean): Unit = {
@@ -506,7 +538,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case 0 =>
               err("unexpected-null-character"); nameBuf.append('�')
             case EOF => err("eof-in-tag"); emitEof(); running = false
-            case _   => nameBuf.append(toLower(c)); bulkInto(nameBuf, "\t\n\f />", lower = true)
+            case _   => nameBuf.append(toLower(c)); bulkInto(nameBuf, TagNameStops._1, TagNameStops._2, lower = true)
           }
 
         // ---------------- RCDATA/RAWTEXT/script-data end tags ----------------
@@ -750,7 +782,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
               attrNameBuf.append(c.toChar)
             case _ =>
               attrNameBuf.append(toLower(c))
-              bulkInto(attrNameBuf, "\t\n\f />=\"'<", lower = true)
+              bulkInto(attrNameBuf, AttrNameStops._1, AttrNameStops._2, lower = true)
           }
 
         case AfterAttrName =>
@@ -788,7 +820,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case 0 =>
               err("unexpected-null-character"); attrValueBuf.append('�')
             case EOF => err("eof-in-tag"); emitEof(); running = false
-            case _   => attrValueBuf.append(c.toChar); bulkInto(attrValueBuf, "\"&", lower = false)
+            case _   => attrValueBuf.append(c.toChar); bulkInto(attrValueBuf, AttrValDqStops._1, AttrValDqStops._2, lower = false)
           }
 
         case AttrValueSingle =>
@@ -799,7 +831,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case 0 =>
               err("unexpected-null-character"); attrValueBuf.append('�')
             case EOF => err("eof-in-tag"); emitEof(); running = false
-            case _   => attrValueBuf.append(c.toChar); bulkInto(attrValueBuf, "'&", lower = false)
+            case _   => attrValueBuf.append(c.toChar); bulkInto(attrValueBuf, AttrValSqStops._1, AttrValSqStops._2, lower = false)
           }
 
         case AttrValueUnquoted =>
@@ -818,7 +850,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case EOF => err("eof-in-tag"); emitEof(); running = false
             case _   =>
               attrValueBuf.append(c.toChar)
-              bulkInto(attrValueBuf, "\t\n\f &>\"'<=`", lower = false)
+              bulkInto(attrValueBuf, AttrValUqStops._1, AttrValUqStops._2, lower = false)
           }
 
         case AfterAttrValueQuoted =>

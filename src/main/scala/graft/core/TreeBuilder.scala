@@ -59,6 +59,13 @@ object TreeBuilder {
   final case class ModeTransition(fromMode: String, toMode: String,
                                   tokenType: String, tokenTagName: String,
                                   tokenStart: Int, tokenEnd: Int)
+
+  /** Global (ns, tagName) → predicate-bitmask cache: the flags depend only
+    * on the pair, so computing them once per distinct tag name process-wide
+    * beats recomputing per element.
+    */
+  private[core] val flagsCache: Array[java.util.concurrent.ConcurrentHashMap[String, Integer]] =
+    Array.fill(3)(new java.util.concurrent.ConcurrentHashMap[String, Integer])
 }
 
 final class AfeEntry(
@@ -135,7 +142,16 @@ final class TreeBuilder(
   // stack helpers
   private def current: DomElement = stack(stack.length - 1)
 
-  private def push(el: DomElement): Unit = stack += el
+  /** Whether any <select> was ever pushed — lets the public layer skip the
+    * post-parse select/option compat patch (a full-tree walk) entirely for
+    * the overwhelmingly common select-free document.
+    */
+  var sawSelect = false
+
+  private def push(el: DomElement): Unit = {
+    stack += el
+    if (el.namespace == Ns.Html && el.tagName == "select") sawSelect = true
+  }
 
   private def pop(): DomElement = {
     val el = stack.remove(stack.length - 1)
@@ -183,18 +199,67 @@ final class TreeBuilder(
   private def onStack(el: DomElement): Boolean = stack.exists(_ eq el)
 
   // scope queries ------------------------------------------------------
-  private def defaultScopeStop(el: DomElement): Boolean = el.namespace match {
-    case Ns.Html =>
-      el.tagName == "applet" || el.tagName == "caption" || el.tagName == "html" ||
-        el.tagName == "table" || el.tagName == "td" || el.tagName == "th" ||
-        el.tagName == "marquee" || el.tagName == "object" || el.tagName == "template"
-    case Ns.MathMl =>
-      HtmlMeta.isMathMlTextIntegrationPoint(el) || el.tagName == "annotation-xml"
-    case Ns.Svg =>
-      val t = el.tagName
-      t == "foreignObject" || t == "desc" || t == "title"
-    case _ => false
+  // Per-element predicate bitmask, computed once per element on first use
+  // (scope queries run on every <p>/implied-end-tag check — the string
+  // matches they replace were ~10% of parse time on text-heavy docs).
+  private final val FDefaultScopeStop = 1
+  private final val FButton = 2
+  private final val FListItemStop = 4
+  private final val FTableScopeStop = 8
+  private final val FImpliedEnd = 16
+  private final val FImpliedEndThorough = 32
+  private final val FSpecial = 64
+
+  private def computeElFlags(el: DomElement): Int = {
+    val ns = el.namespace
+    if (ns >= 0 && ns < 3) {
+      val cache = TreeBuilder.flagsCache(ns)
+      val hit = cache.get(el.tagName)
+      if (hit != null) return hit.intValue
+      val f = computeElFlagsSlow(el)
+      cache.put(el.tagName, Integer.valueOf(f))
+      f
+    } else computeElFlagsSlow(el)
   }
+
+  private def computeElFlagsSlow(el: DomElement): Int = {
+    var f = 0
+    val stop = el.namespace match {
+      case Ns.Html =>
+        el.tagName == "applet" || el.tagName == "caption" || el.tagName == "html" ||
+          el.tagName == "table" || el.tagName == "td" || el.tagName == "th" ||
+          el.tagName == "marquee" || el.tagName == "object" || el.tagName == "template"
+      case Ns.MathMl =>
+        HtmlMeta.isMathMlTextIntegrationPoint(el) || el.tagName == "annotation-xml"
+      case Ns.Svg =>
+        val t = el.tagName
+        t == "foreignObject" || t == "desc" || t == "title"
+      case _ => false
+    }
+    if (stop) f |= FDefaultScopeStop
+    if (el.namespace == Ns.Html) {
+      val t = el.tagName
+      if (t == "button") f |= FButton
+      if (t == "ol" || t == "ul") f |= FListItemStop
+      if (t == "html" || t == "table" || t == "template") f |= FTableScopeStop
+      if (HtmlMeta.ImpliedEndTags.contains(t)) f |= FImpliedEnd
+      if (HtmlMeta.ImpliedEndTagsThorough.contains(t)) f |= FImpliedEndThorough
+    }
+    if (HtmlMeta.isSpecial(el)) f |= FSpecial
+    f
+  }
+
+  @inline private def elFlags(el: DomElement): Int = {
+    var f = el.scopeFlagsV
+    if (f == -1) { f = computeElFlags(el); el.scopeFlagsV = f }
+    f
+  }
+
+  @inline private def isSpecialEl(el: DomElement): Boolean =
+    (elFlags(el) & FSpecial) != 0
+
+  private def defaultScopeStop(el: DomElement): Boolean =
+    (elFlags(el) & FDefaultScopeStop) != 0
 
   private def hasInScopeP(pred: DomElement => Boolean): Boolean = {
     var i = stack.length - 1
@@ -221,9 +286,7 @@ final class TreeBuilder(
     while (i >= 0) {
       val el = stack(i)
       if (el.namespace == Ns.Html && el.tagName == name) return true
-      if (defaultScopeStop(el) ||
-        (el.namespace == Ns.Html && (el.tagName == "ol" || el.tagName == "ul")))
-        return false
+      if ((elFlags(el) & (FDefaultScopeStop | FListItemStop)) != 0) return false
       i -= 1
     }
     false
@@ -234,8 +297,7 @@ final class TreeBuilder(
     while (i >= 0) {
       val el = stack(i)
       if (el.namespace == Ns.Html && el.tagName == name) return true
-      if (defaultScopeStop(el) || (el.namespace == Ns.Html && el.tagName == "button"))
-        return false
+      if ((elFlags(el) & (FDefaultScopeStop | FButton)) != 0) return false
       i -= 1
     }
     false
@@ -245,11 +307,8 @@ final class TreeBuilder(
     var i = stack.length - 1
     while (i >= 0) {
       val el = stack(i)
-      if (el.namespace == Ns.Html) {
-        if (el.tagName == name) return true
-        if (el.tagName == "html" || el.tagName == "table" || el.tagName == "template")
-          return false
-      }
+      if (el.namespace == Ns.Html && el.tagName == name) return true
+      if ((elFlags(el) & FTableScopeStop) != 0) return false
       i -= 1
     }
     false
@@ -275,14 +334,12 @@ final class TreeBuilder(
     stack.exists(el => el.namespace == Ns.Html && el.tagName == "template")
 
   private def generateImpliedEndTags(except: String): Unit = {
-    while (stack.nonEmpty && current.namespace == Ns.Html &&
-      HtmlMeta.ImpliedEndTags.contains(current.tagName) &&
+    while (stack.nonEmpty && (elFlags(current) & FImpliedEnd) != 0 &&
       current.tagName != except) pop()
   }
 
   private def generateImpliedEndTagsThoroughly(): Unit = {
-    while (stack.nonEmpty && current.namespace == Ns.Html &&
-      HtmlMeta.ImpliedEndTagsThorough.contains(current.tagName)) pop()
+    while (stack.nonEmpty && (elFlags(current) & FImpliedEndThorough) != 0) pop()
   }
 
   private def clearStackBackToTableContext(): Unit = {
@@ -551,7 +608,7 @@ final class TreeBuilder(
       var fbIdx = -1
       var i = fmtIdx + 1
       while (i < stack.length && fbIdx < 0) {
-        if (HtmlMeta.isSpecial(stack(i))) fbIdx = i
+        if (isSpecialEl(stack(i))) fbIdx = i
         i += 1
       }
       if (fbIdx < 0) {
@@ -655,7 +712,7 @@ final class TreeBuilder(
         generateImpliedEndTags(name)
         popUntilElementPopped(node)
         done = true
-      } else if (HtmlMeta.isSpecial(node)) {
+      } else if (isSpecialEl(node)) {
         err("unexpected-end-tag", curTokStart, curTokEnd)
         done = true
       }
@@ -1526,7 +1583,7 @@ final class TreeBuilder(
               err("unclosed-elements", tag.start, tag.end)
             popUntilPopped("li")
             done = true
-          } else if (HtmlMeta.isSpecial(node) &&
+          } else if (isSpecialEl(node) &&
             !(node.namespace == Ns.Html &&
               (node.tagName == "address" || node.tagName == "div" || node.tagName == "p")))
             done = true
@@ -1548,7 +1605,7 @@ final class TreeBuilder(
               err("unclosed-elements", tag.start, tag.end)
             popUntilPopped(node.tagName)
             done = true
-          } else if (HtmlMeta.isSpecial(node) &&
+          } else if (isSpecialEl(node) &&
             !(node.namespace == Ns.Html &&
               (node.tagName == "address" || node.tagName == "div" || node.tagName == "p")))
             done = true
