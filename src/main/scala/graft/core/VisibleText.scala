@@ -403,55 +403,61 @@ object VisibleText {
 
   private def isSpaceTabFf(c: Char): Boolean = c == ' ' || c == '\t' || c == '\f'
 
-  private def collapseRuns(
-      chars: ArrayBuffer[SourceChar],
-      predicate: Char => Boolean,
-      limit: Int
-  ): ArrayBuffer[SourceChar] = {
-    val result = new ArrayBuffer[SourceChar](chars.length)
-    var runCount = 0
-    chars.foreach { entry =>
-      if (predicate(entry.char)) {
-        runCount += 1
-        if (runCount <= limit) result += entry
-      } else {
-        runCount = 0
-        result += entry
-      }
-    }
-    result
-  }
-
   private def normalizeSourceChars(
       chars: ArrayBuffer[SourceChar],
       trim: Boolean
   ): ArrayBuffer[SourceChar] = {
-    // strip space/tab/ff before newlines
+    // pass 1: strip space/tab/ff before newlines (needs backtracking)
     val beforeNl = new ArrayBuffer[SourceChar](chars.length)
-    chars.foreach { entry =>
+    var i = 0
+    while (i < chars.length) {
+      val entry = chars(i)
       if (entry.char == '\n') {
         while (beforeNl.nonEmpty && isSpaceTabFf(beforeNl(beforeNl.length - 1).char))
           beforeNl.remove(beforeNl.length - 1)
       }
       beforeNl += entry
+      i += 1
     }
-    // strip space/tab/ff after newlines
-    val afterNl = new ArrayBuffer[SourceChar](beforeNl.length)
-    beforeNl.foreach { entry =>
-      val prev = if (afterNl.nonEmpty) afterNl(afterNl.length - 1) else null
-      if (!(prev != null && prev.char == '\n' && isSpaceTabFf(entry.char)))
-        afterNl += entry
+    // pass 2 (fused): strip space/tab/ff after newlines, then collapse
+    // \n runs to 2, space runs to 1, tab runs to 1. Counters observe the
+    // post-strip stream exactly as the previously-sequential passes did
+    // (a char dropped by a collapse still resets the other classes' runs,
+    // which is equivalent because at least one char of every collapsed run
+    // survives adjacent to it) — byte-identical output, three fewer passes.
+    val out = new ArrayBuffer[SourceChar](beforeNl.length)
+    var stage2Prev: Char = 0
+    var nlRun = 0; var spRun = 0; var tabRun = 0
+    i = 0
+    while (i < beforeNl.length) {
+      val entry = beforeNl(i)
+      val c = entry.char
+      if (stage2Prev == '\n' && isSpaceTabFf(c)) {
+        // dropped by strip-after-newline; stage2Prev stays '\n'
+      } else {
+        stage2Prev = c
+        if (c == '\n') {
+          nlRun += 1; spRun = 0; tabRun = 0
+          if (nlRun <= 2) out += entry
+        } else if (c == ' ') {
+          spRun += 1; nlRun = 0; tabRun = 0
+          if (spRun <= 1) out += entry
+        } else if (c == '\t') {
+          tabRun += 1; nlRun = 0; spRun = 0
+          if (tabRun <= 1) out += entry
+        } else {
+          nlRun = 0; spRun = 0; tabRun = 0
+          out += entry
+        }
+      }
+      i += 1
     }
-    val collapsed = collapseRuns(
-      collapseRuns(collapseRuns(afterNl, _ == '\n', 2), _ == ' ', 1),
-      _ == '\t', 1
-    )
-    if (!trim || collapsed.isEmpty) return collapsed
+    if (!trim || out.isEmpty) return out
     var start = 0
-    var end = collapsed.length
-    while (start < end && Character.isWhitespace(collapsed(start).char)) start += 1
-    while (end > start && Character.isWhitespace(collapsed(end - 1).char)) end -= 1
-    collapsed.slice(start, end)
+    var end = out.length
+    while (start < end && Character.isWhitespace(out(start).char)) start += 1
+    while (end > start && Character.isWhitespace(out(end - 1).char)) end -= 1
+    out.slice(start, end)
   }
 
   private def provTok(kind: String, value: String, m: SourceMeta): VisibleTextTokenWithProvenance =

@@ -16,6 +16,12 @@ object ProfileProbe {
       while (running) {
         which match {
           case "vt" => VisibleText.ofDocument(HtmlParser.parse(medium))
+          case "extract" =>
+            graft.pipeline.Extraction.extractOne(
+              graft.pipeline.TranscriptTurn("c", 1, "user", medium, "",
+                new java.sql.Timestamp(0L)),
+              Budgets(maxInputBytes = Some(32 * 1024 * 1024)),
+              VisibleTextOptions())
           case _    => HtmlParser.parse(medium)
         }
       }
@@ -80,5 +86,23 @@ object CoreBenchProbe {
     }
     println(f"parse_medium_mb_per_sec=${run(medium, 400)}%.2f")
     println(f"parse_large_mb_per_sec=${run(large, 80)}%.2f")
+    // full extraction path (parse + provenance + spans), docs/sec
+    val turn = graft.pipeline.TranscriptTurn("c", 1, "user", medium, "",
+      new java.sql.Timestamp(0L))
+    val budgets = Budgets(maxInputBytes = Some(32 * 1024 * 1024))
+    def runExtract(iters: Int): Double = {
+      def pass(k: Int): Double = {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < k) {
+          graft.pipeline.Extraction.extractOne(turn, budgets, VisibleTextOptions())
+          i += 1
+        }
+        k / ((System.nanoTime() - t0) / 1e9)
+      }
+      pass(iters); pass(iters)
+      (1 to 3).map(_ => pass(iters)).max
+    }
+    println(f"extract_medium_docs_per_sec=${runExtract(300)}%.1f")
   }
 }
