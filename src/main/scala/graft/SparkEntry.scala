@@ -68,6 +68,8 @@ object SparkEntry {
                                 n_errors: Long, first_error: String)
   final case class IdTrace(doc_id: Long, n_events: Long, n_transitions: Long,
                            n_parse_errors: Long, n_tokens: Long, last_to_mode: String)
+  final case class IdTreeQuery(doc_id: Long, n_nodes: Long, n_elements: Long,
+                               attr_vals: String, s1_text: String, id_roundtrip: Boolean)
   final case class IdTextEnc(doc_id: Long, extracted_text: String, encoding: String)
   final case class IdTextBudget(doc_id: Long, extracted_text: String, budget_error: String)
 
@@ -282,6 +284,25 @@ object SparkEntry {
           IdEnc(id, r.encoding, r.source)
         }.toDF()
     }),
+
+    "q_tree_query" -> ((s, dir) =>
+      // walk / walkElements / findAllByAttr / findById in one oracle-checked
+      // query (2.4 tree-query family)
+      overHtml[IdTreeQuery](s, dir,
+        "concat('<div data-k=\"', lang, '\"><span id=\"s1\">', text," +
+          "'</span><span data-k=\"', source, '\">', lang, '</span></div>')") { (id, h) =>
+        val tree = HtmlParser.parse(h)
+        var nNodes = 0L
+        Traversal.walk(tree)((_, _) => nNodes += 1)
+        var nElements = 0L
+        Traversal.walkElements(tree)((_, _) => nElements += 1)
+        val attrVals = Traversal.findAllByAttr(tree.children, "data-k")
+          .map(_.attr("data-k").getOrElse("")).mkString(",")
+        val s1 = Traversal.findAllByAttr(tree.children, "id", Some("s1")).next()
+        val roundtrip = Traversal.findById(tree.children, s1.id).contains(s1)
+        IdTreeQuery(id, nNodes, nElements, attrVals,
+          Traversal.textContent(s1), roundtrip)
+      }),
 
     // ---- tree queries: fragment / outline / chunk / serialize / patch --
     "q_fragment" -> ((s, dir) =>
@@ -631,6 +652,10 @@ object SparkEntry {
 
     "q_fragment" ->
       s"SELECT doc_id, lang || $NL || $NL || source AS extracted_text FROM documents",
+
+    "q_tree_query" ->
+      ("SELECT doc_id, CAST(8 AS BIGINT) AS n_nodes, CAST(6 AS BIGINT) AS n_elements, " +
+        "lang || ',' || source AS attr_vals, text AS s1_text, TRUE AS id_roundtrip FROM documents"),
 
     "q_outline" ->
       ("SELECT doc_id, CAST(0 AS BIGINT) AS ord, CAST(2 AS BIGINT) AS depth, 'h1' AS tag, source AS heading FROM documents " +
