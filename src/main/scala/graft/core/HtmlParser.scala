@@ -276,18 +276,35 @@ object HtmlParser {
         }
       }
       // children are converted (and receive ids) BEFORE the element itself
-      val kids = Vector.newBuilder[HtmlNode]
-      el.children.foreach { c =>
-        val converted = convertNode(c, depth + 1, assigner, state)
-        if (converted != null) kids += converted
-      }
-      val attrs = el.attrs.iterator.map { a =>
-        val sp =
-          if (state.captureSpans && a.start >= 0 && a.end >= a.start)
-            Some(Span(a.start, a.end))
-          else None
-        Attr(a.name, a.value, sp)
-      }.toVector
+      // (index loops: the closure-based foreach showed up in parse profiles)
+      val kids =
+        if (el.children.isEmpty) Vector.empty[HtmlNode]
+        else {
+          val b = Vector.newBuilder[HtmlNode]
+          var i = 0
+          while (i < el.children.length) {
+            val converted = convertNode(el.children(i), depth + 1, assigner, state)
+            if (converted != null) b += converted
+            i += 1
+          }
+          b.result()
+        }
+      val attrs =
+        if (el.attrs.isEmpty) Vector.empty[Attr]
+        else {
+          val b = Vector.newBuilder[Attr]
+          var i = 0
+          while (i < el.attrs.length) {
+            val a = el.attrs(i)
+            val sp =
+              if (state.captureSpans && a.start >= 0 && a.end >= a.start)
+                Some(Span(a.start, a.end))
+              else None
+            b += Attr(a.name, a.value, sp)
+            i += 1
+          }
+          b.result()
+        }
       val elSpan = spanOf(el, state.captureSpans).orElse {
         if (state.captureSpans && el.startOffset >= 0 && el.startTagEnd >= el.startOffset)
           Some(Span(el.startOffset, el.startTagEnd))
@@ -297,7 +314,7 @@ object HtmlParser {
         assigner.next(),
         el.tagName, // public tag name: namespace prefix already absent
         attrs,
-        kids.result(),
+        kids,
         provenanceOf(elSpan, state.captureSpans),
         elSpan
       )
