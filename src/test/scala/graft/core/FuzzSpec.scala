@@ -69,6 +69,19 @@ class FuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("trace mode is total and well-formed on structured-fuzz inputs") {
+    check(Prop.forAll(fragmentGen) { html =>
+      val tree = HtmlParser.parse(html, ParseOptions(trace = true))
+      val events = tree.trace.get
+      // seq strictly increasing, events render to JSON, required kinds present
+      events.zipWithIndex.forall { case (e, i) => e.seq == i + 1 } &&
+        events.forall(_.toJson.nonEmpty) &&
+        Set("decode", "token", "tree-mutation").subsetOf(events.map(_.kind).toSet) &&
+        // trace must never change the parse result
+        (tree.children == HtmlParser.parse(html).children)
+    })
+  }
+
   test("extraction is deterministic") {
     check(Prop.forAll(fragmentGen) { html =>
       VisibleText.ofDocument(HtmlParser.parse(html)) ==
