@@ -211,9 +211,10 @@ object Bench {
         (runs.map(_._1), runs.head._2, runs.head._3)
       }
     // enough draws per size for a stable median: this sandbox host
-    // intermittently throttles when many vCPUs are busy, so we report every
-    // raw run plus BOTH the median (headline) and peak per size
-    val levels = Seq(1 -> 4, 2 -> 5, 4 -> 5, 8 -> 5)
+    // intermittently throttles when many vCPUs are busy (hitting the wider
+    // sizes hardest), so we draw more runs there and report every raw run
+    // plus BOTH the median (headline) and peak per size
+    val levels = Seq(1 -> 4, 2 -> 5, 4 -> 7, 8 -> 7)
       .map { case (e, r) => e -> timedAt(e, r) }.toMap
     val digests = levels.values.map(_._3).toSet
     val rowsSet = levels.values.map(_._2).toSet
