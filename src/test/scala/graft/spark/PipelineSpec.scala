@@ -178,4 +178,21 @@ class PipelineSpec extends AnyFunSuite {
       .toMap
     assert(out == expected)
   }
+
+  test("ExtractJob progress markers work with a scheme-qualified output URI") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-uri").toString
+    val in = s"$tmp/in"
+    Transcripts.generate(spark, 6, seed = 3L).toDF().write.parquet(in)
+    // file: scheme exercises the Hadoop FileSystem marker path (the
+    // java.nio implementation would have failed or mis-placed markers)
+    val out = s"file:$tmp/out"
+    ExtractJob.run(spark, ExtractJob.Args(in, out, buckets = 4, passes = 2))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/out/_progress/pass-0.done")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/out/_progress/pass-1.done")))
+    // resume skips both completed passes (no rewrite)
+    val before = spark.read.parquet(s"$tmp/out/data/pass=0").count()
+    ExtractJob.run(spark, ExtractJob.Args(in, out, buckets = 4, passes = 2, resume = true))
+    assert(spark.read.parquet(s"$tmp/out/data/pass=0").count() == before)
+  }
 }

@@ -15,14 +15,7 @@ class SqlFunctionSpec extends AnyFunSuite {
   private lazy val spark = {
     val s = SparkTestSession.spark
     // same registration GraftExtensions performs, applied to the live session
-    s.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("visible_text"),
-      new ExpressionInfo(classOf[VisibleTextExpression].getName, "visible_text"),
-      children => VisibleTextExpression(children.head))
-    s.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("text_content"),
-      new ExpressionInfo(classOf[TextContentExpression].getName, "text_content"),
-      children => TextContentExpression(children.head))
+    graft.functions.functions.register(s)
     s
   }
 
@@ -71,5 +64,15 @@ class SqlFunctionSpec extends AnyFunSuite {
     // building injected functions directly exercises the builder lambdas
     val vt = VisibleTextExpression(org.apache.spark.sql.catalyst.expressions.Literal("<p>hi</p>"))
     assert(vt.prettyName == "visible_text")
+  }
+
+  test("Column-side functions.visible_text matches the SQL surface") {
+    import spark.implicits._
+    import graft.functions.functions.{visible_text, text_content}
+    val df = Seq("<p>a <b>b</b></p><div hidden>x</div>").toDF("html")
+    val row = df.select(visible_text($"html").as("vt"), text_content($"html").as("tc"))
+      .collect().head
+    assert(row.getString(0) == "a b")
+    assert(row.getString(1) == "a bx")
   }
 }
