@@ -189,6 +189,28 @@ object SparkEntry {
             tree.errors.headOption.map(_.parseErrorId).getOrElse(""))
       }),
 
+    "q_adv_foreign_template" -> ((s, dir) =>
+      // foreign content (SVG title skip + text integration), template
+      // content exclusion, and frameset/noframes documents
+      overHtml[IdText](s, dir,
+        "CASE CAST(doc_id % 3 AS INT) " +
+          "WHEN 0 THEN concat('<p>', lang, '</p><svg><title>', source, '</title><text>', text, '</text></svg><p>', source, '</p>') " +
+          "WHEN 1 THEN concat('<p>', lang, '</p><template><p>', text, '</p></template><p>', source, '</p>') " +
+          "ELSE concat('<frameset><frame></frameset><noframes>', text, '</noframes>') END") {
+        (id, h) => IdText(id, vt(h))
+      }),
+
+    "q_adv_raw_modes" -> ((s, dir) =>
+      // RAWTEXT skip (script/style), PLAINTEXT literal tail, and the
+      // noscript single-text-child fragment-reparse fallback
+      overHtml[IdText](s, dir,
+        "CASE CAST(doc_id % 3 AS INT) " +
+          "WHEN 0 THEN concat('<script>var x = ', text, ';</script><style>.a{}</style><p>', lang, '</p>') " +
+          "WHEN 1 THEN concat('<p>', lang, '</p><plaintext>', text, '<b>', source, '</b>') " +
+          "ELSE concat('<p>', lang, '</p><noscript><p>', text, '</p></noscript><p>', source, '</p>') END") {
+        (id, h) => IdText(id, vt(h))
+      }),
+
     "q_adv_bytes_utf16" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id").cast("long"), col("text"))
@@ -614,6 +636,18 @@ object SparkEntry {
         "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN CAST(0 AS BIGINT) ELSE 1 END AS n_errors, " +
         "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN '' ELSE 'unexpected-cell-in-table-body' END AS first_error " +
         "FROM documents"),
+
+    "q_adv_foreign_template" ->
+      (s"SELECT doc_id, CASE CAST(doc_id % 3 AS INT) " +
+        s"WHEN 0 THEN lang || $NL || $NL || text || $NL || source " +
+        s"WHEN 1 THEN lang || $NL || $NL || source " +
+        "ELSE text END AS extracted_text FROM documents"),
+
+    "q_adv_raw_modes" ->
+      (s"SELECT doc_id, CASE CAST(doc_id % 3 AS INT) " +
+        "WHEN 0 THEN lang " +
+        s"WHEN 1 THEN lang || $NL || $NL || text || '<b>' || source || '</b>' " +
+        s"ELSE lang || $NL || $NL || text || $NL || $NL || source END AS extracted_text FROM documents"),
 
     "q_adv_bytes_utf16" ->
       ("SELECT doc_id, text AS extracted_text, " +

@@ -2009,7 +2009,8 @@ final class TreeBuilder(
       err("unexpected-template-end-tag", tag.start, tag.end)
       return
     }
-    err("template-end-tag", tag.start, tag.end)
+    // a matched </template> is NOT a parse error (spec §13.2.6.4.7;
+    // reference templateEndTagInHead errs only on unmatched/open-children)
     generateImpliedEndTagsThoroughly()
     if (!(current.namespace == Ns.Html && current.tagName == "template"))
       err("unclosed-elements", tag.start, tag.end)

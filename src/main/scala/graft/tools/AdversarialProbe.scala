@@ -27,6 +27,13 @@ object AdversarialProbe {
     show("comment-eof", s"<p>$lang</p><!-- $text")
     show("misnested-table", s"<b><table><td>$lang</td><tr><td>$text</table></b>$source")
 
+    show("foreign-svg", s"<p>$lang</p><svg><title>$source</title><text>$text</text></svg><p>$source</p>")
+    show("template", s"<p>$lang</p><template><p>$text</p></template><p>$source</p>")
+    show("rawtext", s"<script>var x = '$text';</script><style>.a{}</style><p>$lang</p>")
+    show("plaintext", s"<p>$lang</p><plaintext>$text<b>$source</b>")
+    show("noscript", s"<p>$lang</p><noscript><p>$text</p></noscript><p>$source</p>")
+    show("frameset", s"<frameset><frame></frameset><noframes>$text</noframes>")
+
     // utf-16 bytes path
     val html16 = s"<p>$text</p>"
     val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ html16.getBytes("UTF-16LE")
