@@ -1,0 +1,177 @@
+#!/usr/bin/env python3
+"""Differential tree-construction oracle: parse a deterministic adversarial
+corpus with BOTH the reference's vendored parse5 (node, plain JS) and our
+Scala engine, compare html5lib-normalized trees line by line.
+
+Usage: python3 scripts/conformance/tree_diff.py [--corpus-only]
+Run from the repo root. Requires `sbt -batch compile` beforehand.
+"""
+import base64
+import itertools
+import subprocess
+import sys
+import tempfile
+import os
+
+WORDS = ["alpha", "beta", "gamma"]
+
+
+def corpus():
+    cases = []
+    t = "payload"
+    base_templates = [
+        # misnesting / adoption agency
+        "<p><b>one<i>two</b>three</i>four</p>",
+        "<b><p>x</b>y</p>",
+        "<a href=1>x<div>y<a href=2>z</a></div></a>",
+        "<b><b><b>deep<i>mix</b></b>tail</i></b>",
+        "<em><p>a</em>b</p>",
+        # tables / foster parenting
+        "<table>text<tr><td>cell</td></tr></table>",
+        "<table><div>foster</div><tbody><tr><td>a</table>",
+        "<table><caption>c</caption><colgroup><col><tr><td>x</table>",
+        "<table><tr><td><table><tr><td>nested</table></table>",
+        "<table><tbody><tr><th>h<td>d</table>",
+        # lists / implied ends
+        "<ul><li>a<li>b<ol><li>c</ul>",
+        "<dl><dt>t<dd>d<dt>t2</dl>",
+        # headings / paragraphs
+        "<h1>a<h2>b</h1>c</h2>",
+        "<p>a<p>b<div>c<p>d</div>",
+        # formatting reconstruction
+        "<p><b>x</p><p>still bold</p>",
+        "<nobr>a<nobr>b</nobr>c",
+        # foreign content
+        "<svg><g><circle r=1 /></g><foreignObject><p>html</p></foreignObject></svg>",
+        "<math><mi>x</mi><annotation-xml encoding='text/html'><p>y</p></annotation-xml></math>",
+        "<svg><desc><b>bold</b></desc><text>t</text></svg>",
+        "<p><svg><tspan>a</tspan></svg>b</p>",
+        "<svg><script>s</script></svg>after",
+        "<math><mtext><b>html-in-math</b></mtext></math>",
+        # head / body structure
+        "<head><meta charset=x><title>t</title></head><body>b",
+        "<html lang=en><body class=c>x",
+        "x<head>y</head>z",
+        # comments / doctype / cdata / bogus
+        "<!doctype html><!-- c --><p>x</p><!-- tail -->",
+        "<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 4.01//EN\"><p>q</p>",
+        "<?php bogus ?><p>x</p>",
+        "<!-->empty<p>x</p>",
+        "<![CDATA[not cdata in html]]><p>x</p>",
+        "<svg><![CDATA[real cdata]]></svg>",
+        # rawtext / rcdata / script escapes
+        "<title>a<b>not-tag</b></title><p>x</p>",
+        "<textarea><p>literal</p></textarea>",
+        "<style>p { color: red }</style><p>x</p>",
+        "<script><!-- <script>inner</script> --></script><p>after</p>",
+        "<xmp><b>x</b></xmp>",
+        "<iframe><p>t</p></iframe>",
+        # entities
+        "<p>&amp; &notin; &not;in &#150; &#x41; &amp &fake;</p>",
+        "<p title='&quot;q&quot;'>attr &ampersand</p>",
+        # frameset
+        "<frameset><frame src=a><frameset rows=1><frame></frameset></frameset><noframes>nf</noframes>",
+        # template (content is opaque in both normalizers; structure still checked)
+        "<div><template><tr><td>t</td></tr></template></div>",
+        # button / form / fieldset
+        "<form><button>a<button>b</form>",
+        "<form><form><input type=hidden name=x></form>",
+        # void / self-closing
+        "<br/><img src=a alt=b><hr><input value='v'/>",
+        "<p>a<br>b</p>",
+        # attributes edge cases
+        "<div a=1 a=2 b = 'x' c=\"y\" d>t</div>",
+        "<div =bogus>x</div>",
+        "<div a"
+    ]
+    for tpl in base_templates:
+        cases.append(tpl)
+        # EOF-truncation sweep: every prefix length at thirds
+        for frac in (3, 2):
+            cases.append(tpl[: len(tpl) // frac])
+    # doctype quirks variants
+    for d in ["", "<!doctype html>",
+              "<!DOCTYPE HTML PUBLIC \"-//W3C//DTD HTML 3.2 Final//EN\">"]:
+        cases.append(d + "<table>q<td>x</td></table>")
+
+    # seeded structured fuzz: random (mis)nesting over a vocabulary heavy in
+    # special elements, with unclosed/stray tags and entity fragments
+    import random
+    rng = random.Random(0x9E3779B9)
+    tags = ["div", "p", "b", "i", "a", "span", "table", "tr", "td", "th",
+            "tbody", "ul", "li", "h1", "h3", "em", "nobr", "button", "form",
+            "svg", "math", "mi", "title", "textarea", "pre", "code", "dd",
+            "dt", "caption", "colgroup", "col", "br", "img", "template",
+            "select", "option", "optgroup", "ruby", "rt", "rp", "frameset",
+            "noscript", "object", "marquee", "applet", "foreignObject",
+            "mtext", "desc", "style", "script", "head", "body", "html"]
+    frags = ["&amp;", "&notin", "&#65;", "&#x2603;", "<!-- c -->", "x y", "z",
+             "&#0;", "&#xD800;", "<![CDATA[d]]>", "<?pi?>", "<!doctype html>"]
+    def rand_case():
+        parts = []
+        opens = []
+        for _ in range(rng.randint(4, 14)):
+            r = rng.random()
+            if r < 0.42:
+                t = rng.choice(tags)
+                attrs = ""
+                if rng.random() < 0.3:
+                    attrs = f" {rng.choice(['a', 'class', 'id', 'hidden'])}={rng.randint(0, 9)}"
+                parts.append(f"<{t}{attrs}>")
+                opens.append(t)
+            elif r < 0.68 and opens:
+                # close a RANDOM open tag (often misnested)
+                parts.append(f"</{opens.pop(rng.randrange(len(opens)))}>")
+            elif r < 0.8:
+                parts.append(f"</{rng.choice(tags)}>")  # stray close
+            else:
+                parts.append(rng.choice(frags))
+        return "".join(parts)
+    for _ in range(1200):
+        cases.append(rand_case())
+    return cases
+
+
+def main():
+    inputs = corpus()
+    print(f"{len(inputs)} corpus cases")
+    payload = "\n".join(
+        base64.b64encode(c.encode()).decode() for c in inputs) + "\n"
+
+    with tempfile.NamedTemporaryFile("w", suffix=".b64", delete=False) as f:
+        f.write(payload)
+        path = f.name
+
+    ref = subprocess.run(
+        ["node", "scripts/conformance/ref_tree_dump.mjs"],
+        input=payload, capture_output=True, text=True, check=True).stdout
+    ours = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.TreeDiffDump {path}"],
+        capture_output=True, text=True, check=True).stdout
+    # sbt prefixes [info]; extract base64 lines between markers
+    our_lines = [l.replace("[info] ", "").strip() for l in ours.splitlines()
+                 if l.startswith("[info] ") and
+                 all(ch.isalnum() or ch in "+/=" for ch in l.replace("[info] ", "").strip())
+                 and len(l.replace("[info] ", "").strip()) > 0]
+    ref_lines = [l.strip() for l in ref.splitlines() if l.strip()]
+    # our_lines may include stray info output; take the last N lines
+    our_lines = our_lines[-len(inputs):]
+    assert len(ref_lines) == len(inputs), (len(ref_lines), len(inputs))
+    assert len(our_lines) == len(inputs), (len(our_lines), len(inputs))
+
+    mismatches = 0
+    for i, (r, o) in enumerate(zip(ref_lines, our_lines)):
+        rt = base64.b64decode(r).decode()
+        ot = base64.b64decode(o).decode()
+        if rt != ot:
+            mismatches += 1
+            print(f"--- MISMATCH case {i}: {inputs[i]!r}")
+            print("ref:  " + rt.replace("\n", "\nref:  "))
+            print("ours: " + ot.replace("\n", "\nours: "))
+    print(f"{mismatches} mismatches / {len(inputs)} cases")
+    os.unlink(path)
+    sys.exit(1 if mismatches else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -2200,6 +2200,19 @@ final class TreeBuilder(
   }
 
   private def foreignEndTag(tag: TagToken): Unit = {
+    // </p> and </br> exit foreign content entirely: pop to the nearest
+    // HTML/integration-point node, then reprocess per HTML rules
+    // (reference endTagInForeignContent, parser/index.js:3289-3294)
+    if (tag.name == "p" || tag.name == "br") {
+      while ({
+        val cn = current
+        !(cn.namespace == Ns.Html ||
+          HtmlMeta.isMathMlTextIntegrationPoint(cn) ||
+          HtmlMeta.isHtmlIntegrationPoint(cn))
+      }) pop()
+      processEndTag(tag)
+      return
+    }
     var i = stack.length - 1
     if (i >= 0 && stack(i).tagName.toLowerCase != tag.name)
       err("unexpected-end-tag", tag.start, tag.end)
