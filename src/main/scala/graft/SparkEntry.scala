@@ -466,6 +466,19 @@ object SparkEntry {
 
     "q_simhash" -> ((s, dir) => Dedup.simhashes(docs(s, dir)).toDF()),
 
+    "q_embed_near_dup" -> ((s, dir) => {
+      // plant exact-duplicate embeddings for vec_id < 30; the LSH-bucketed
+      // cosine near-dup path must recover exactly the planted relation at
+      // threshold 0.99 (organic random pairs never get close)
+      val base = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDups(base.unionAll(planted), threshold = 0.99,
+          nPlanes = 8, seed = 42L, dim = Some(64))
+        .filter(col("id_b") - col("id_a") === 1000000L)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     // ---- training-data ops: text analysis ------------------------------
     "q_quality" -> ((s, dir) => {
       val cols = TextStats.qualityColumns(col("text"))
@@ -735,6 +748,9 @@ object SparkEntry {
     "q_near_dup_pairs" ->
       "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents WHERE doc_id < 50",
 
+    "q_embed_near_dup" ->
+      "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings WHERE vec_id < 30",
+
     "q_quality" ->
       ("SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_words, " +
         "len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to','in','is'))) AS n_stopwords, " +
@@ -744,7 +760,8 @@ object SparkEntry {
 
     "q_token_stats" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens, " +
-        "CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens " +
+        "CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens, " +
+        s"CAST(len(regexp_extract_all(text, '${TextStats.BpeTokenPattern}')) AS BIGINT) AS n_bpe_tokens " +
         "FROM documents"),
 
     "q_langid" ->

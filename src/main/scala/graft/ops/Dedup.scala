@@ -251,4 +251,50 @@ object Dedup {
       .groupBy(col("chunk"), col("chunk_val"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucket)
+
+  // -------------------------------------------------------------------
+  // Embedding-cosine near-duplicates
+
+  /** Near-duplicate pairs by embedding cosine similarity >= `threshold`.
+    * Scale shape: random-hyperplane LSH buckets partition the corpus; the
+    * probe side expands to Hamming-1 neighbor buckets (multi-probe) and
+    * hash-joins on the bucket key — only same/adjacent-bucket pairs are
+    * scored, never the full n^2. Input: (vec_id: long, embedding:
+    * array<float>); output: (id_a, id_b, sim), id_a < id_b.
+    */
+  def embeddingNearDups(base: DataFrame, threshold: Double,
+                        nPlanes: Int = 8, seed: Long = 42L,
+                        dim: Option[Int] = None): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    import graft.ops.{Similarity => Sim}
+    val d = dim.getOrElse(
+      base.select(col("embedding")).as[Array[Float]].head().length)
+    val planes = spark.sparkContext.broadcast(Sim.hyperplanes(nPlanes, d, seed))
+
+    val bucketed = base.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, emb, Sim.bucketOf(emb, planes.value)) }
+      .toDF("vec_id", "embedding", "bucket")
+
+    val probes = base.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val b = Sim.bucketOf(emb, planes.value)
+        (b +: (0 until nPlanes).map(p => b ^ (1 << p))).map(pb => (id, emb, pb))
+      }
+      .toDF("id_a", "emb_a", "bucket")
+
+    probes.join(bucketed, Seq("bucket"))
+      .filter(col("id_a") < col("vec_id"))
+      .select(col("id_a"), col("vec_id").as("id_b"),
+        col("emb_a"), col("embedding").as("emb_b"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (a, b, ea, eb) =>
+        (a, b, Sim.cosine(ea, eb))
+      })
+      .toDF("id_a", "id_b", "sim")
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
 }

@@ -39,11 +39,19 @@ object TextStats {
   /** Whitespace token count plus a BPE-ish subword count: each word costs
     * ceil(len/4) subword tokens (a deterministic proxy for byte-pair merges).
     */
+  /** GPT-style pre-tokenizer match pattern (simplified to the corpus
+    * alphabet; no lookahead so RE2-based engines agree): a leading-space
+    * letter run, digit run, or punctuation run per token.
+    */
+  val BpeTokenPattern = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
   def tokenCountColumns(text: Column): Seq[(String, Column)] = Seq(
     "n_ws_tokens" -> nWords(text),
     "n_subword_tokens" ->
       aggregate(wordsCol(text), lit(0L),
-        (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+        (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long")),
+    "n_bpe_tokens" ->
+      size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
   )
 
   /** Deterministic heuristic language-ID: argmax over per-language stopword

@@ -128,6 +128,25 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("embeddingNearDups recovers planted duplicates via LSH buckets") {
+    import spark.implicits._
+    // independent pseudo-random vectors (sin-phase vectors are organically
+    // near-duplicate and would drown the planted relation)
+    def vec(seed: Int): Array[Float] = {
+      val rnd = new java.util.Random(seed * 2654435761L)
+      Array.fill(32)(rnd.nextFloat() * 2f - 1f)
+    }
+    val base = (0L until 100L).map(i => (i, vec(i.toInt)))
+    val planted = (0L until 5L).map(i => (i + 1000L, vec(i.toInt))) // exact dups
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, threshold = 0.99, nPlanes = 6,
+        dim = Some(32))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach(i => assert(pairs.contains((i, i + 1000L)), s"missing $i"))
+    // no organic false positives at 0.99 for this corpus
+    assert(pairs.size == 5, pairs)
+  }
+
   test("fingerprint column matches local fold") {
     import spark.implicits._
     val texts = Seq((1L, "table scan fast"), (2L, "a"), (3L, "big merge join query"))
