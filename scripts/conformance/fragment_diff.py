@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Differential fragment-parsing oracle: parse (context, html) pairs with the
+reference's fragment machinery (createFragmentContext + vendored parse5
+getFragmentParser) and our parseFragment, compare normalized trees.
+
+Usage: python3 scripts/conformance/fragment_diff.py  (repo root, compiled).
+"""
+import base64
+import subprocess
+import sys
+import tempfile
+import os
+
+
+def corpus():
+    contexts = ["div", "td", "tr", "tbody", "table", "select", "option",
+                "svg", "math", "mi", "title", "script", "style", "textarea",
+                "head", "body", "html", "frameset", "template", "caption",
+                "colgroup", "p", "button", "foreignObject", "ul", "dl"]
+    snippets = [
+        "plain text",
+        "<p>a</p><p>b</p>",
+        "<td>cell</td><td>two</td>",
+        "<tr><td>r</td></tr>",
+        "<li>1<li>2",
+        "<option>a<option>b",
+        "<b>x<i>y</b>z</i>",
+        "<table><td>t</table>",
+        "<circle r=1/><g><rect/></g>",
+        "<mi>m</mi><mrow>r</mrow>",
+        "raw </oops> & &amp; text",
+        "<!-- c --><div>d</div>",
+        "<col span=2>",
+        "<caption>cap</caption>x",
+        "<frame src=f><frameset></frameset>",
+        "<script>if (a<b) x()</script>",
+        "a<br>b<img src=x>",
+    ]
+    cases = []
+    for c in contexts:
+        for s in snippets:
+            cases.append((c, s))
+    return cases
+
+
+def main():
+    inputs = corpus()
+    print(f"{len(inputs)} fragment cases")
+    payload = "\n".join(
+        base64.b64encode(f"{c} {h}".encode()).decode() for c, h in inputs) + "\n"
+
+    with tempfile.NamedTemporaryFile("w", suffix=".b64", delete=False) as f:
+        f.write(payload)
+        path = f.name
+
+    ref = subprocess.run(
+        ["node", "scripts/conformance/ref_fragment_dump.mjs"],
+        input=payload, capture_output=True, text=True, check=True).stdout
+    ours = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.FragmentDiffDump {path}"],
+        capture_output=True, text=True, check=True).stdout
+    our_lines = [l.replace("[info] ", "").strip() for l in ours.splitlines()
+                 if l.startswith("[info] ") and
+                 all(ch.isalnum() or ch in "+/=" for ch in l.replace("[info] ", "").strip())
+                 and len(l.replace("[info] ", "").strip()) > 0]
+    ref_lines = [l.strip() for l in ref.splitlines() if l.strip()]
+    our_lines = our_lines[-len(inputs):]
+    assert len(ref_lines) == len(inputs), (len(ref_lines), len(inputs))
+    assert len(our_lines) == len(inputs), (len(our_lines), len(inputs))
+
+    mismatches = 0
+    for i, (r, o) in enumerate(zip(ref_lines, our_lines)):
+        rt = base64.b64decode(r).decode()
+        ot = base64.b64decode(o).decode()
+        if rt != ot:
+            mismatches += 1
+            if mismatches <= 8:
+                print(f"--- MISMATCH case {i}: {inputs[i]!r}")
+                print("ref:  " + rt.replace("\n", "\nref:  "))
+                print("ours: " + ot.replace("\n", "\nours: "))
+    print(f"{mismatches} mismatches / {len(inputs)} cases")
+    os.unlink(path)
+    sys.exit(1 if mismatches else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -2249,6 +2249,12 @@ final class TreeBuilder(
     */
   def parseFragment(contextTagName: String): DomElement = {
     fragmentContext = createFakeElement(contextTagName)
+    // an "svg"/"math" context element carries its foreign namespace (the
+    // reference fabricates the context by parsing `<svg></svg>` etc., which
+    // lands in the foreign namespace — build.ts:283-305), so fragment
+    // content parses under foreign-content rules via adjustedCurrentNode
+    if (contextTagName == "svg") fragmentContext.namespace = Ns.Svg
+    else if (contextTagName == "math") fragmentContext.namespace = Ns.MathMl
     tokenizer = new Tokenizer(input, this)
     contextTagName match {
       case "title" | "textarea" =>
@@ -2263,7 +2269,12 @@ final class TreeBuilder(
         tokenizer.state = TokenizerState.Plaintext
       case _ =>
     }
-    tokenizer.lastStartTagName = contextTagName
+    // NOTE: lastStartTagName is NOT seeded with the context tag — the
+    // "appropriate end tag" refers to the last start tag emitted by the
+    // tokenizer itself, and none has been (spec §13.2.5; the reference's
+    // fragment init sets only the state, parser/index.js:293-323), so e.g.
+    // a script-context fragment never terminates its script data on
+    // `</script>`.
     val root = createFakeElement("html")
     fragmentRoot = root
     document.appendChild(root)
