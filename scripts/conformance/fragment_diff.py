@@ -40,6 +40,29 @@ def corpus():
     for c in contexts:
         for s in snippets:
             cases.append((c, s))
+
+    # seeded fuzz snippets per context
+    import random
+    rng = random.Random(0x517CC1B7)
+    tags = ["div", "p", "b", "i", "a", "span", "table", "tr", "td", "ul",
+            "li", "svg", "math", "mi", "option", "caption", "col", "dd",
+            "template", "br", "img", "g", "text", "mrow"]
+    frags = ["&amp;", "&notin", "&#65;", "<!-- c -->", "x y", "</done>"]
+    def rand_snippet():
+        parts = []
+        for _ in range(rng.randint(3, 9)):
+            r = rng.random()
+            if r < 0.45:
+                parts.append(f"<{rng.choice(tags)}>")
+            elif r < 0.7:
+                parts.append(f"</{rng.choice(tags)}>")
+            else:
+                parts.append(rng.choice(frags))
+        return "".join(parts)
+    for _ in range(40):
+        s = rand_snippet()
+        for c in contexts:
+            cases.append((c, s))
     return cases
 
 

@@ -115,6 +115,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", executors)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wait for every executor to register before any job runs — cluster
+    // startup is occasionally slow here, and timing a job that is waiting
+    // for resources would measure starvation, not throughput
+    val deadline = System.currentTimeMillis() + 120000
+    while (spark.sparkContext.getExecutorMemoryStatus.size < executors + 1 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(250)
     try f(spark)
     finally {
       spark.stop()
