@@ -127,7 +127,7 @@ def corpus():
             else:
                 parts.append(rng.choice(frags))
         return "".join(parts)
-    for _ in range(1200):
+    for _ in range(6000):
         cases.append(rand_case())
     return cases
 

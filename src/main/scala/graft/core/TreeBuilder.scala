@@ -708,7 +708,11 @@ final class TreeBuilder(
     var done = false
     while (i >= 0 && !done) {
       val node = stack(i)
-      if (node.namespace == Ns.Html && node.tagName == name) {
+      // the reference's generic end-tag walk matches by tag name with NO
+      // namespace check (genericEndTagInBody, parser/index.js: tagID
+      // comparison, and the name→id map is injective) — so e.g. </title>
+      // closes an open SVG title element
+      if (node.tagName == name) {
         generateImpliedEndTags(name)
         popUntilElementPopped(node)
         done = true
