@@ -97,7 +97,7 @@ def corpus():
     # seeded structured fuzz: random (mis)nesting over a vocabulary heavy in
     # special elements, with unclosed/stray tags and entity fragments
     import random
-    rng = random.Random(0x9E3779B9)
+    rng = random.Random(0xC0FFEE42)  # second half below reseeds
     tags = ["div", "p", "b", "i", "a", "span", "table", "tr", "td", "th",
             "tbody", "ul", "li", "h1", "h3", "em", "nobr", "button", "form",
             "svg", "math", "mi", "title", "textarea", "pre", "code", "dd",
@@ -110,7 +110,7 @@ def corpus():
     def rand_case():
         parts = []
         opens = []
-        for _ in range(rng.randint(4, 14)):
+        for _ in range(rng.randint(6, 28)):
             r = rng.random()
             if r < 0.42:
                 t = rng.choice(tags)
@@ -127,7 +127,10 @@ def corpus():
             else:
                 parts.append(rng.choice(frags))
         return "".join(parts)
-    for _ in range(6000):
+    for _ in range(3000):
+        cases.append(rand_case())
+    rng = random.Random(0x9E3779B9)
+    for _ in range(3000):
         cases.append(rand_case())
     return cases
 

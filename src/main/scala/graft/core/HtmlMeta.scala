@@ -21,7 +21,9 @@ object HtmlMeta {
     "table", "tbody", "td", "template", "textarea", "tfoot", "th", "thead",
     "title", "tr", "track", "ul", "wbr", "xmp"
   )
-  val SpecialSvg: Set[String] = Set("foreignobject", "desc", "title")
+  // NOTE: element tag names are stored case-ADJUSTED in the SVG namespace
+  // ("foreignObject", not "foreignobject") — the set must use that form
+  val SpecialSvg: Set[String] = Set("foreignObject", "desc", "title")
   val SpecialMathMl: Set[String] =
     Set("mi", "mo", "mn", "ms", "mtext", "annotation-xml")
 

@@ -241,7 +241,10 @@ final class TreeBuilder(
       val t = el.tagName
       if (t == "button") f |= FButton
       if (t == "ol" || t == "ul") f |= FListItemStop
-      if (t == "html" || t == "table" || t == "template") f |= FTableScopeStop
+      // the reference's table-scope walk stops ONLY at html/table — NOT at
+      // template as the spec text says (open-element-stack.js:250-266), so
+      // a <table> inside an open template can close an outer table
+      if (t == "html" || t == "table") f |= FTableScopeStop
       if (HtmlMeta.ImpliedEndTags.contains(t)) f |= FImpliedEnd
       if (HtmlMeta.ImpliedEndTagsThorough.contains(t)) f |= FImpliedEndThorough
     }
@@ -781,8 +784,14 @@ final class TreeBuilder(
   }
 
   override def cdataAllowed: Boolean = {
+    // the reference's tokenizer honors CDATA only in a foreign node that is
+    // NOT an integration point (parse5 _setContextModes: inForeignNode =
+    // foreign && !isIntegrationPoint) — at e.g. <math mtext>, `<![CDATA[`
+    // becomes a bogus comment
     val acn = adjustedCurrentNode
-    acn != null && acn.namespace != Ns.Html
+    acn != null && acn.namespace != Ns.Html &&
+      !HtmlMeta.isMathMlTextIntegrationPoint(acn) &&
+      !HtmlMeta.isHtmlIntegrationPoint(acn)
   }
 
   /** True when the token must be processed via foreign-content rules. */
@@ -913,6 +922,12 @@ final class TreeBuilder(
     curTokStart = start; curTokEnd = end; curTokEndTagName = null
     setTokContext("COMMENT", null)
     ignoreNextLf = false
+    // dispatcher: a comment in foreign content is inserted at the current
+    // node (spec §13.2.6.5 "A comment token"), not routed by insertion mode
+    if (useForeignRules(isStartTag = false, isChar = false, null)) {
+      insertComment(data, start, end, null)
+      return
+    }
     if (mode == InTableText) { flushTableText(); mode = originalMode }
     mode match {
       case Initial | BeforeHtml | AfterAfterBody | AfterAfterFrameset =>
@@ -929,6 +944,11 @@ final class TreeBuilder(
     curTokStart = d.start; curTokEnd = d.end; curTokEndTagName = null
     setTokContext("DOCTYPE", null)
     ignoreNextLf = false
+    // dispatcher: a DOCTYPE in foreign content is a parse error, ignored
+    if (useForeignRules(isStartTag = false, isChar = false, null)) {
+      err("misplaced-doctype", d.start, d.end)
+      return
+    }
     mode match {
       case Initial =>
         val node = new DomDoctype(
