@@ -97,7 +97,8 @@ def corpus():
     # seeded structured fuzz: random (mis)nesting over a vocabulary heavy in
     # special elements, with unclosed/stray tags and entity fragments
     import random
-    rng = random.Random(0xC0FFEE42)  # second half below reseeds
+    seed0 = int(os.environ.get('TREE_DIFF_SEED', '0xC0FFEE42'), 16)
+    rng = random.Random(seed0)  # second half below reseeds
     tags = ["div", "p", "b", "i", "a", "span", "table", "tr", "td", "th",
             "tbody", "ul", "li", "h1", "h3", "em", "nobr", "button", "form",
             "svg", "math", "mi", "title", "textarea", "pre", "code", "dd",
@@ -129,7 +130,7 @@ def corpus():
         return "".join(parts)
     for _ in range(3000):
         cases.append(rand_case())
-    rng = random.Random(0x9E3779B9)
+    rng = random.Random(seed0 ^ 0x9E3779B9)
     for _ in range(3000):
         cases.append(rand_case())
     return cases

@@ -245,9 +245,12 @@ final class TreeBuilder(
       // template as the spec text says (open-element-stack.js:250-266), so
       // a <table> inside an open template can close an outer table
       if (t == "html" || t == "table") f |= FTableScopeStop
-      if (HtmlMeta.ImpliedEndTags.contains(t)) f |= FImpliedEnd
-      if (HtmlMeta.ImpliedEndTagsThorough.contains(t)) f |= FImpliedEndThorough
     }
+    // implied-end-tag pops are NAMESPACE-BLIND in the reference (tagID-only
+    // sets, open-element-stack.js:3-9,307-316): e.g. an <svg option> current
+    // node is popped by generateImpliedEndTags
+    if (HtmlMeta.ImpliedEndTags.contains(el.tagName)) f |= FImpliedEnd
+    if (HtmlMeta.ImpliedEndTagsThorough.contains(el.tagName)) f |= FImpliedEndThorough
     if (HtmlMeta.isSpecial(el)) f |= FSpecial
     f
   }
