@@ -1095,9 +1095,16 @@ final class TreeBuilder(
           mode = InBody
           processChars(data, isWs, start, end)
         }
-      case InFrameset | AfterFrameset | AfterAfterFrameset =>
+      case InFrameset | AfterFrameset =>
         if (isWs) insertCharacters(data, start, end)
         else err("unexpected-char-in-frameset", start, end)
+      case AfterAfterFrameset =>
+        // whitespace here reprocesses per in-body rules, which reconstructs
+        // the active formatting list (spec "after after frameset")
+        if (isWs) {
+          reconstructActiveFormattingElements()
+          insertCharacters(data, start, end)
+        } else err("unexpected-char-in-frameset", start, end)
       case _ =>
     }
   }
