@@ -13,6 +13,15 @@ import scala.collection.mutable.ArrayBuffer
   * an internal DOM that the public layer converts to immutable trees.
   */
 object InsertionMode {
+  /** The reference's reset map can leave the mode literally `undefined`: its
+    * TEMPLATE case (parser/index.js:605) is tagID-based and namespace-blind,
+    * so a foreign `<math template>` on the stack reads
+    * `tmplInsertionModeStack[0]` of an EMPTY stack. From then on every token
+    * routed to HTML rules falls through the mode switch and is silently
+    * dropped (foreign-content dispatch, which checks the current node rather
+    * than the mode, keeps working). We model that with this sentinel.
+    */
+  final val Undefined = -1
   final val Initial = 0
   final val BeforeHtml = 1
   final val BeforeHead = 2
@@ -48,7 +57,9 @@ object InsertionMode {
     "AFTER_FRAMESET", "AFTER_AFTER_BODY", "AFTER_AFTER_FRAMESET")
 
   def name(mode: Int): String =
-    if (mode >= 0 && mode < Names.length) Names(mode) else mode.toString
+    if (mode == Undefined) "undefined"
+    else if (mode >= 0 && mode < Names.length) Names(mode)
+    else mode.toString
 }
 
 object TreeBuilder {
@@ -733,47 +744,57 @@ final class TreeBuilder(
   // ------------------------------------------------------------------
   // reset insertion mode (spec §13.2.4.1)
   private def resetInsertionMode(): Unit = {
+    // The reference's reset map switches on the element's tagID with NO
+    // namespace check (parser/index.js:566-630) — tagIDs are derived from the
+    // lowercase token name, so e.g. a foreign <svg tr> resets to "in row" and
+    // a foreign <math template> hits the TEMPLATE case. None of the names
+    // matched here are SVG case-adjusted, so a direct name compare is exact.
     var i = stack.length - 1
     var done = false
     while (i >= 0 && !done) {
       var node = stack(i)
       val last = i == 0
       if (last && fragmentContext != null) node = fragmentContext
-      if (node.namespace == Ns.Html) {
-        node.tagName match {
-          case "select" =>
-            mode = InSelect
-            var j = i
-            var foundTable = false
-            var stop = false
-            while (j > 0 && !stop) {
-              j -= 1
-              val anc = stack(j)
-              if (anc.namespace == Ns.Html && anc.tagName == "template") stop = true
-              else if (anc.namespace == Ns.Html && anc.tagName == "table") {
-                foundTable = true; stop = true
-              }
-            }
-            if (foundTable) mode = InSelectInTable
-            done = true
-          case "td" | "th" if !last => mode = InCell; done = true
-          case "tr"                 => mode = InRow; done = true
-          case "tbody" | "thead" | "tfoot" => mode = InTableBody; done = true
-          case "caption"                   => mode = InCaption; done = true
-          case "colgroup"                  => mode = InColumnGroup; done = true
-          case "table"                     => mode = InTable; done = true
-          case "template" =>
-            mode = templateModes(templateModes.length - 1); done = true
-          case "head" if !last => mode = InHead; done = true
-          case "body"          => mode = InBody; done = true
-          case "frameset"      => mode = InFrameset; done = true
-          case "html" =>
-            mode = if (headElement == null) BeforeHead else AfterHead
-            done = true
-          case _ =>
-            if (last) { mode = InBody; done = true }
-        }
-      } else if (last) { mode = InBody; done = true }
+      node.tagName match {
+        case "select" =>
+          // _resetInsertionModeForSelect (parser/index.js:632-646) is also
+          // tagID-based: the ancestor walk stops at ANY element named
+          // template / matches ANY element named table, namespace-blind
+          mode = InSelect
+          var j = i
+          var foundTable = false
+          var stop = false
+          while (j > 0 && !stop) {
+            j -= 1
+            val anc = stack(j)
+            if (anc.tagName == "template") stop = true
+            else if (anc.tagName == "table") { foundTable = true; stop = true }
+          }
+          if (foundTable) mode = InSelectInTable
+          done = true
+        case "td" | "th" if !last => mode = InCell; done = true
+        case "tr"                 => mode = InRow; done = true
+        case "tbody" | "thead" | "tfoot" => mode = InTableBody; done = true
+        case "caption"                   => mode = InCaption; done = true
+        case "colgroup"                  => mode = InColumnGroup; done = true
+        case "table"                     => mode = InTable; done = true
+        case "template" =>
+          // tmplInsertionModeStack[0] of an empty stack is `undefined` in the
+          // reference (a foreign template never pushed a mode) — see the
+          // InsertionMode.Undefined scaladoc
+          mode =
+            if (templateModes.nonEmpty) templateModes(templateModes.length - 1)
+            else Undefined
+          done = true
+        case "head" if !last => mode = InHead; done = true
+        case "body"          => mode = InBody; done = true
+        case "frameset"      => mode = InFrameset; done = true
+        case "html" =>
+          mode = if (headElement == null) BeforeHead else AfterHead
+          done = true
+        case _ =>
+          if (last) { mode = InBody; done = true }
+      }
       i -= 1
     }
   }
@@ -894,6 +915,7 @@ final class TreeBuilder(
         insertCharacters("�", start, start + 1)
       case InTableText =>
         err("unexpected-null-character", start, start + 1)
+      case Undefined => // dropped, no error (see InsertionMode.Undefined)
       case _ =>
         err("unexpected-null-character", start, start + 1)
     }
@@ -937,6 +959,7 @@ final class TreeBuilder(
         insertComment(data, start, end, document)
       case AfterBody =>
         insertComment(data, start, end, stack(0))
+      case Undefined => // dropped (see InsertionMode.Undefined)
       case _ =>
         insertComment(data, start, end, null)
     }
@@ -969,6 +992,7 @@ final class TreeBuilder(
       case InTableText =>
         flushTableText(); mode = originalMode
         err("misplaced-doctype", d.start, d.end)
+      case Undefined => // dropped, no error (see InsertionMode.Undefined)
       case _ =>
         err("misplaced-doctype", d.start, d.end)
     }
@@ -1042,6 +1066,7 @@ final class TreeBuilder(
   // ------------------------------------------------------------------
   // character dispatch
   private def processChars(data: String, isWs: Boolean, start: Int, end: Int): Unit = {
+    if (mode == Undefined) return // reference drops HTML-rule tokens (see InsertionMode.Undefined)
     mode match {
       case Initial | BeforeHtml | BeforeHead =>
         if (isWs) () // ignore
@@ -1179,6 +1204,7 @@ final class TreeBuilder(
   }
 
   private def processStartTag(tag: TagToken): Unit = {
+    if (mode == Undefined) return // reference drops HTML-rule tokens (see InsertionMode.Undefined)
     if (mode == InTableText) {
       flushTableText()
       mode = originalMode
@@ -1824,6 +1850,7 @@ final class TreeBuilder(
   // ------------------------------------------------------------------
   // end tags
   private def processEndTag(tag: TagToken): Unit = {
+    if (mode == Undefined) return // reference drops HTML-rule tokens (see InsertionMode.Undefined)
     if (mode == InTableText) {
       flushTableText()
       mode = originalMode
