@@ -41,9 +41,9 @@ def corpus():
         for s in snippets:
             cases.append((c, s))
 
-    # seeded fuzz snippets per context
+    # seeded fuzz snippets per context (FRAG_DIFF_SEED to sweep fresh seeds)
     import random
-    rng = random.Random(0x517CC1B7)
+    rng = random.Random(int(os.environ.get('FRAG_DIFF_SEED', '0x517CC1B7'), 16))
     tags = ["div", "p", "b", "i", "a", "span", "table", "tr", "td", "ul",
             "li", "svg", "math", "mi", "option", "caption", "col", "dd",
             "template", "br", "img", "g", "text", "mrow"]

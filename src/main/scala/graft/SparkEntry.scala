@@ -72,6 +72,8 @@ object SparkEntry {
                                attr_vals: String, s1_text: String, id_roundtrip: Boolean)
   final case class IdTextEnc(doc_id: Long, extracted_text: String, encoding: String)
   final case class IdTextBudget(doc_id: Long, extracted_text: String, budget_error: String)
+  final case class IdProv(doc_id: Long, extracted_text: String, n_tokens: Long,
+                          degraded: Boolean, kinds: String)
 
   /** Flagship: full transcript extraction pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -127,6 +129,60 @@ object SparkEntry {
       overHtml[IdText](s, dir,
         "concat('<p>', lang, '<br>', source, '</p><pre>', text, '</pre>')") {
         (id, h) => IdText(id, vt(h))
+      }),
+
+    // extraction-layer corners the parse5 differential harness cannot reach
+    // (reference visibleText walk, mod.ts:1233-1372): preserveWhitespace
+    // inheritance through nested blocks (:1357), textarea preserving inside
+    // a table cell, and nested-table tab/newline interleaving (:1329-1348)
+    "q_visible_text_pre_nested" -> ((s, dir) =>
+      overHtml[IdText](s, dir,
+        "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN " +
+          "concat('<pre><div>', lang, chr(10), source, '</div></pre><div>', lang, chr(10), source, '</div><p>', text, '</p>') " +
+          "ELSE concat('<table><tr><td><textarea>', lang, chr(10), source, '</textarea></td><td>', text, '</td></tr></table>') END") {
+        (id, h) => IdText(id, vt(h))
+      }),
+
+    "q_visible_text_nested_table" -> ((s, dir) =>
+      overHtml[IdText](s, dir,
+        "concat('<table><tr><td>', lang, '</td><td><table><tr><td>', source, '</td><td>', text, '</td></tr></table></td><td>', lang, '</td></tr></table>')") {
+        (id, h) => IdText(id, vt(h))
+      }),
+
+    // aria-hidden truthiness edge values (mod.ts:1058-1064: trim+lowercase,
+    // hidden iff "", "true" or "1") + style normalization stripping ALL
+    // whitespace before matching display:none / content-visibility:hidden
+    "q_visible_text_aria_edge" -> ((s, dir) =>
+      overHtml[IdText](s, dir,
+        "concat('<p><span aria-hidden=\"\">', source, '</span><span aria-hidden=\"false\">', lang, " +
+          "'</span> <span aria-hidden=\"0\">', source, '</span> <span aria-hidden=\" TRUE \">', text, " +
+          "'</span><span aria-hidden=\"yes\">', text, '</span><i style=\"display : none\">', text, " +
+          "'</i><i style=\"CONTENT-VISIBILITY:Hidden\">', text, '</i></p>')") {
+        (id, h) => IdText(id, vt(h))
+      }),
+
+    // includeAccessibleNameFallback=true (mod.ts:1112-1128): input aria-label
+    // used only for non-hidden inputs without a usable control value, blank
+    // labels rejected after trim
+    "q_visible_text_accname" -> ((s, dir) =>
+      overHtml[IdText](s, dir,
+        "concat('<p><input type=\"text\" aria-label=\"', lang, '\"> ', text, " +
+          "' <input type=\"submit\" value=\"', source, '\" aria-label=\"zz\"> <input type=\"hidden\" aria-label=\"zz\"> <input type=\"search\" aria-label=\"  \">end</p>')") {
+        (id, h) => IdText(id, VisibleText.ofDocument(HtmlParser.parse(h),
+          VisibleTextOptions(includeAccessibleNameFallback = true)))
+      }),
+
+    // provenance char-pipeline consistency (mod.ts:1650-1664): on normal
+    // input the char pipeline must agree with the string pipeline (degraded
+    // = false) and the token stream has the closed-form kind sequence
+    "q_provenance" -> ((s, dir) =>
+      overHtml[IdProv](s, dir,
+        "concat('<h1>', lang, '</h1><p>', text, '</p><table><tr><td>', source, '</td><td>', lang, '</td></tr></table>')") {
+        (id, h) =>
+          val tree = HtmlParser.parse(h)
+          val (out, toks) = VisibleText.extractWithProvenance(tree.children)
+          val degraded = toks.nonEmpty && toks.forall(_.sourceNodeId.isEmpty)
+          IdProv(id, out, toks.length.toLong, degraded, toks.map(_.kind).mkString(","))
       }),
 
     "q_parse_stream" -> ((s, dir) =>
@@ -428,13 +484,29 @@ object SparkEntry {
             .otherwise(0L)).as("n_gaps"))
     }),
 
-    "q_lineage" -> ((s, dir) => {
+    "q_dataset_digest" -> ((s, dir) => {
+      // global order-independent dataset checksum: XOR of Extraction.rowDigest
+      // (FNV-1a over conv_id/turn_idx/text) across every extracted turn. The
+      // DuckDB oracle replays the same FNV chain in HUGEINT, so this is the
+      // hash-replay gate for the lineage digest math itself; the query also
+      // asserts that the per-partition lineage XOR folds to the same value
+      // (the resumability invariant the pipeline relies on).
       import s.implicits._
       val turns = Transcripts.fromDocuments(s, dir)
         .withColumn("turn_idx", col("turn_idx").cast("int")).as[TranscriptTurn]
-      Extraction.lineage(Extraction.extract(turns)).toDF()
-        .select(col("partition_id").cast("long"), col("n_rows"), col("n_errors"),
-          col("digest"))
+      val extracted = Extraction.extract(turns)
+      val viaLineage = Extraction.lineage(extracted).toDF()
+        .agg(expr("bit_xor(digest)").as("ldigest"), sum(col("n_rows")).as("lrows"))
+      extracted
+        .map(e => (Extraction.rowDigest(e.conv_id, e.turn_idx, e.extracted_text),
+          e.extracted_text.length.toLong))
+        .toDF("d", "len")
+        .agg(count(lit(1)).as("n_turns"), expr("bit_xor(d)").as("digest"),
+          sum(col("len")).as("n_chars"))
+        .crossJoin(viaLineage) // both sides are single aggregate rows
+        .select(col("n_turns"), col("digest"), col("n_chars"),
+          (col("digest") === col("ldigest") &&
+            col("n_turns") === col("lrows")).as("lineage_consistent"))
     }),
 
     // ---- training-data ops: dedup --------------------------------------
@@ -553,6 +625,23 @@ object SparkEntry {
   private def toSignedSql(u: String): String =
     s"CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT THEN $u - $TwoPow64 ELSE $u END AS BIGINT)"
 
+  /** Exact HUGEINT replay of [[Extraction.rowDigest]]: FNV-1a 64 folding
+    * conv_id chars, a 0x1f separator mix, turn_idx, text chars, separator —
+    * the oracle states the chain independently; the engine must match it
+    * bit-for-bit.
+    */
+  private lazy val rowDigestSql: String = {
+    val P = "1099511628211::HUGEINT"
+    def fold(acc: String, w: String): String =
+      s"list_reduce(list_prepend($acc, list_transform(string_split($w, ''), c -> unicode(c)::HUGEINT)), " +
+        s"(acc, x) -> (xor(acc, x) * $P) % $TwoPow64)"
+    def sep(acc: String): String = s"((xor($acc, 31::HUGEINT) * $P) % $TwoPow64)"
+    val h1 = sep(fold("14695981039346656037::HUGEINT", "conv_id"))
+    val h2 = s"((xor($h1, turn_idx::HUGEINT) * $P) % $TwoPow64)"
+    val h3 = sep(fold(h2, "text"))
+    toSignedSql(h3)
+  }
+
   private lazy val simhashOracleSql: String = {
     "WITH h AS (SELECT doc_id, " +
       s"list_transform(string_split(text, ' '), w -> ${fnvSql("w")}) AS hashes FROM documents), " +
@@ -629,6 +718,25 @@ object SparkEntry {
 
     "q_visible_text_br_pre" ->
       s"SELECT doc_id, lang || $NL || source || $NL || $NL || text AS extracted_text FROM documents",
+
+    "q_visible_text_pre_nested" ->
+      (s"SELECT doc_id, CASE CAST(doc_id % 2 AS INT) " +
+        s"WHEN 0 THEN lang || $NL || source || $NL || $NL || lang || ' ' || source || $NL || $NL || text " +
+        s"ELSE lang || $NL || source || $TAB || text END AS extracted_text FROM documents"),
+
+    "q_visible_text_nested_table" ->
+      s"SELECT doc_id, lang || $NL || $NL || source || $TAB || text || $NL || $NL || lang AS extracted_text FROM documents",
+
+    "q_visible_text_aria_edge" ->
+      "SELECT doc_id, lang || ' ' || source || ' ' || text AS extracted_text FROM documents",
+
+    "q_visible_text_accname" ->
+      "SELECT doc_id, lang || ' ' || text || ' ' || source || ' end' AS extracted_text FROM documents",
+
+    "q_provenance" ->
+      (s"SELECT doc_id, lang || $NL || $NL || text || $NL || $NL || source || $TAB || lang AS extracted_text, " +
+        "CAST(7 AS BIGINT) AS n_tokens, FALSE AS degraded, " +
+        "'text,paragraphBreak,text,paragraphBreak,text,tab,text' AS kinds FROM documents"),
 
     "q_parse_stream" ->
       "SELECT doc_id, text AS extracted_text FROM documents",
@@ -734,6 +842,12 @@ object SparkEntry {
         s", h AS (SELECT conv_id, text, ${toSignedSql(fnvSql("(CAST(turn_idx AS VARCHAR) || ':' || text)"))} AS th FROM transcripts) " +
         "SELECT conv_id, count(*) AS n_turns, bit_xor(th) AS digest, " +
         "CAST(sum(length(text)) AS BIGINT) AS n_chars FROM h GROUP BY conv_id"),
+
+    "q_dataset_digest" ->
+      (Transcripts.OracleCte +
+        s", h AS (SELECT $rowDigestSql AS d, text FROM transcripts) " +
+        "SELECT count(*) AS n_turns, bit_xor(d) AS digest, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars, TRUE AS lineage_consistent FROM h"),
 
     "q_turn_order" ->
       (Transcripts.OracleCte +

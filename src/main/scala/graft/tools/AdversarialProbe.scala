@@ -57,6 +57,30 @@ object AdversarialProbe {
     } catch {
       case e: BudgetExceededException => println("== shallow threw " + e.payload.budget)
     }
+
+    // --- round-3 extraction corners (reference mod.ts:1233-1372) ---
+    show("pre-nested",
+      s"<pre><div>$lang\n$source</div></pre><div>$lang\n$source</div><p>$text</p>")
+    show("textarea-table",
+      s"<table><tr><td><textarea>$lang\n$source</textarea></td><td>$text</td></tr></table>")
+    show("nested-table",
+      s"<table><tr><td>$lang</td><td><table><tr><td>$source</td><td>$text</td></tr></table></td><td>$lang</td></tr></table>")
+    show("aria-edge",
+      s"""<p><span aria-hidden="">$source</span><span aria-hidden="false">$lang</span> <span aria-hidden="0">$source</span> <span aria-hidden=" TRUE ">$text</span><span aria-hidden="yes">$text</span><i style="display : none">$text</i><i style="CONTENT-VISIBILITY:Hidden">$text</i></p>""")
+
+    val accHtml =
+      s"""<p><input type="text" aria-label="$lang"> $text <input type="submit" value="$source" aria-label="zz"> <input type="hidden" aria-label="zz"> <input type="search" aria-label="  ">end</p>"""
+    val accTree = HtmlParser.parse(accHtml)
+    val accVt = VisibleText.ofDocument(accTree,
+      VisibleTextOptions(includeAccessibleNameFallback = true))
+    println(s"== accname vt: ${accVt.replace("\n", "\\n").replace("\t", "\\t")}")
+
+    val provHtml = s"<h1>$lang</h1><p>$text</p><table><tr><td>$source</td><td>$lang</td></tr></table>"
+    val provTree = HtmlParser.parse(provHtml)
+    val (pvOut, pvToks) = VisibleText.extractWithProvenance(provTree.children)
+    val degraded = pvToks.nonEmpty && pvToks.forall(_.sourceNodeId.isEmpty)
+    println(s"== prov out: ${pvOut.replace("\n", "\\n").replace("\t", "\\t")}")
+    println(s"== prov n_tokens=${pvToks.length} degraded=$degraded kinds=${pvToks.map(_.kind).mkString(",")}")
   }
 }
 
