@@ -93,9 +93,12 @@ object FixtureSerializer {
   private def serializeAttributes(attributes: Vector[FixtureAttr],
                                   opts: FixtureOptions): String = {
     if (attributes.isEmpty) return ""
-    // reference sorts with localeCompare (serialize.ts:626); fixture names
-    // are ASCII so a case-folded-then-exact sort is collation-equivalent
-    val ordered = attributes.sortBy(a => (a.name.toLowerCase, a.name))
+    // reference sorts with localeCompare (serialize.ts:626); ICU default
+    // collation compares base letters first and, on a case-only difference,
+    // puts LOWERCASE first — so tiebreak equal case-folded names by REVERSE
+    // code-point order ('a' before 'A', 'aB' before 'Ab')
+    val ordered = attributes.sortBy(a => (a.name.toLowerCase, a.name))(
+      Ordering.Tuple2(Ordering.String, Ordering.String.reverse))
     val parts = new ArrayBuffer[String](ordered.length)
     ordered.foreach { attr =>
       val isBoolean = attr.namespace.isEmpty &&

@@ -77,6 +77,12 @@ object TreeBuilder {
     */
   private[core] val flagsCache: Array[java.util.concurrent.ConcurrentHashMap[String, Integer]] =
     Array.fill(3)(new java.util.concurrent.ConcurrentHashMap[String, Integer])
+
+  /** Bound on each per-namespace flags cache: long-lived executors parsing
+    * web-scale junk must not accumulate unbounded distinct tag names (the
+    * known-tag vocabulary is a few hundred; 64k leaves ample headroom).
+    */
+  private[core] final val FlagsCacheMaxEntries = 65536
 }
 
 final class AfeEntry(
@@ -228,7 +234,12 @@ final class TreeBuilder(
       val hit = cache.get(el.tagName)
       if (hit != null) return hit.intValue
       val f = computeElFlagsSlow(el)
-      cache.put(el.tagName, Integer.valueOf(f))
+      // tag names come from untrusted input and can be near-unique per
+      // document ('<a<b>' tokenizes to name "a<b"), so cap the process-wide
+      // cache: past the cap, fall through to the slow path, which the
+      // per-element scopeFlagsV memo still amortizes within a document
+      if (cache.size < TreeBuilder.FlagsCacheMaxEntries)
+        cache.put(el.tagName, Integer.valueOf(f))
       f
     } else computeElFlagsSlow(el)
   }

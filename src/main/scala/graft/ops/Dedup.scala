@@ -261,10 +261,19 @@ object Dedup {
     * hash-joins on the bucket key — only same/adjacent-bucket pairs are
     * scored, never the full n^2. Input: (vec_id: long, embedding:
     * array<float>); output: (id_a, id_b, sim), id_a < id_b.
+    *
+    * Load bounding at corpus scale: size the bucket space with
+    * [[Similarity.nPlanesFor]] (nPlanes ≈ log2(n) − log2(target width)), and
+    * `maxBucket` caps the per-bucket width exactly like [[simhashPairs]] —
+    * a degenerate bucket (e.g. millions of near-zero embeddings on the same
+    * hyperplane side) would make the within-bucket join quadratic, so wider
+    * buckets are dropped entirely and [[embeddingOverflowBuckets]] reports
+    * what was dropped so callers can route those vectors elsewhere.
     */
   def embeddingNearDups(base: DataFrame, threshold: Double,
                         nPlanes: Int = 8, seed: Long = 42L,
-                        dim: Option[Int] = None): DataFrame = {
+                        dim: Option[Int] = None,
+                        maxBucket: Int = 4096): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     import graft.ops.{Similarity => Sim}
@@ -277,6 +286,13 @@ object Dedup {
       .map { case (id, emb) => (id, emb, Sim.bucketOf(emb, planes.value)) }
       .toDF("vec_id", "embedding", "bucket")
 
+    // per-bucket width gate: only buckets within the cap contribute — as a
+    // home bucket AND as a probe target (same drop semantics as simhashPairs)
+    val okBuckets = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxBucket)
+      .select(col("bucket"))
+
     val probes = base.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
@@ -285,7 +301,8 @@ object Dedup {
       }
       .toDF("id_a", "emb_a", "bucket")
 
-    probes.join(bucketed, Seq("bucket"))
+    probes.join(okBuckets, Seq("bucket"))
+      .join(bucketed, Seq("bucket"))
       .filter(col("id_a") < col("vec_id"))
       .select(col("id_a"), col("vec_id").as("id_b"),
         col("emb_a"), col("embedding").as("emb_b"))
@@ -296,5 +313,20 @@ object Dedup {
       .toDF("id_a", "id_b", "sim")
       .filter(col("sim") >= threshold)
       .distinct()
+  }
+
+  /** Buckets dropped by [[embeddingNearDups]]' width cap: (bucket, n_docs)
+    * for every hyperplane bucket wider than `maxBucket` — mirror of
+    * [[simhashOverflowBuckets]].
+    */
+  def embeddingOverflowBuckets(base: DataFrame,
+                               nPlanes: Int = 8, seed: Long = 42L,
+                               dim: Option[Int] = None,
+                               maxBucket: Int = 4096): DataFrame = {
+    import graft.ops.{Similarity => Sim}
+    Sim.lshBuckets(base, nPlanes, seed, dim).toDF()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
   }
 }

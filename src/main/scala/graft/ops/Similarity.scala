@@ -117,6 +117,19 @@ object Similarity {
 
   final case class BucketedVec(vec_id: Long, bucket: Int)
 
+  /** Plane count that keeps the EXPECTED hyperplane-bucket width near
+    * `targetBucketWidth` for a corpus of `corpusSize` vectors:
+    * nPlanes ≈ log2(n) − log2(width). The default 8 planes (256 buckets) is
+    * right for ~10^4-10^5 vectors; a 10^9-vector corpus wants ~24 planes.
+    * Clamped to [1, 30] so the bucket id stays a positive Int.
+    */
+  def nPlanesFor(corpusSize: Long, targetBucketWidth: Int = 64): Int = {
+    val n = math.max(1L, corpusSize)
+    val w = math.max(1, targetBucketWidth)
+    val p = math.ceil(math.log(n.toDouble / w) / math.log(2.0)).toInt
+    math.min(30, math.max(1, p))
+  }
+
   /** Resolve the embedding dimensionality: prefer the caller-supplied value
     * (no Spark job); fall back to a single bounded probe of the first row.
     */
@@ -140,10 +153,17 @@ object Similarity {
   /** ANN via LSH buckets: a query scans only base vectors in its own bucket
     * and in buckets at Hamming distance 1 (multi-probe), then exact-ranks.
     * Pass `dim` to avoid any driver probe job.
+    *
+    * Load bounding: size the bucket space with [[nPlanesFor]] at corpus
+    * scale, and `maxBucket` drops base buckets wider than the cap from
+    * scoring (a degenerate bucket would otherwise make one probe scan
+    * millions of vectors); [[lshOverflowBuckets]] reports the drops so the
+    * recall loss is accounted, mirroring the dedup operators' cap pattern.
     */
   def lshTopK(base: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 8, seed: Long = 42L,
-              dim: Option[Int] = None): DataFrame = {
+              dim: Option[Int] = None,
+              maxBucket: Int = 1 << 20): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(hyperplanes(nPlanes, resolveDim(base, dim), seed))
@@ -152,6 +172,11 @@ object Similarity {
       .as[(Long, Array[Float])]
       .map { case (id, emb) => (id, emb, bucketOf(emb, planes.value)) }
       .toDF("vec_id", "embedding", "bucket")
+
+    val okBuckets = baseB.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxBucket)
+      .select(col("bucket"))
 
     val probes = queries.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -162,7 +187,7 @@ object Similarity {
       }
       .toDF("query_id", "q_embedding", "bucket")
 
-    val scored = probes.join(baseB, Seq("bucket"))
+    val scored = probes.join(okBuckets, Seq("bucket")).join(baseB, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .as[(Int, Long, Array[Float], Long, Array[Float])]
       .map { case (_, qid, qe, nid, ne) => Neighbor(qid, nid, cosine(qe, ne)) }
@@ -175,4 +200,16 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("sim"))
   }
+
+  /** Base buckets dropped by [[lshTopK]]'s width cap: (bucket, n_docs) for
+    * every bucket wider than `maxBucket`.
+    */
+  def lshOverflowBuckets(base: DataFrame,
+                         nPlanes: Int = 8, seed: Long = 42L,
+                         dim: Option[Int] = None,
+                         maxBucket: Int = 1 << 20): DataFrame =
+    lshBuckets(base, nPlanes, seed, dim).toDF()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   *     --input  <transcripts parquet/iceberg path> \
   *     --output <dest dir> \
   *     [--buckets 64] [--passes 1] [--resume] [--salt 0]
+  *     [--format parquet|iceberg]
   *
   * Scale design:
   *  - rows are routed to `buckets` stable hash buckets of `conv_id`
@@ -17,9 +18,11 @@ import org.apache.spark.sql.functions._
   *    `partitionBy(_bucket)`; with `--passes P > 1` the job runs P
   *    sequential sub-jobs each covering `buckets/P` buckets and records a
   *    progress marker per completed pass — `--resume` skips completed
-  *    passes, giving checkpointed restart at pass granularity (the
-  *    Iceberg-native deployment would use snapshot commits per pass
-  *    instead of marker files; same control flow);
+  *    passes, giving checkpointed restart at pass granularity;
+  *  - storage goes through the [[TableIO]] seam: `--format parquet` writes
+  *    directory-per-pass Parquet, `--format iceberg` commits each pass as
+  *    an Iceberg snapshot via `writeTo(...).overwritePartitions()` (same
+  *    control flow, snapshot-native resume);
   *  - extraction itself is shuffle-free; the only shuffle is the optional
   *    `repartition` that balances bucket passes, and skew from very long
   *    conversations is neutralized because routing hashes conv_id but
@@ -36,7 +39,8 @@ object ExtractJob {
       buckets: Int = 64,
       passes: Int = 1,
       resume: Boolean = false,
-      salt: Int = 0
+      salt: Int = 0,
+      format: String = TableIO.defaultFormat
   )
 
   def parseArgs(argv: Array[String]): Args = {
@@ -49,6 +53,7 @@ object ExtractJob {
         case "--buckets" => a = a.copy(buckets = argv(i + 1).toInt); i += 2
         case "--passes"  => a = a.copy(passes = argv(i + 1).toInt); i += 2
         case "--salt"    => a = a.copy(salt = argv(i + 1).toInt); i += 2
+        case "--format"  => a = a.copy(format = argv(i + 1)); i += 2
         case "--resume"  => a = a.copy(resume = true); i += 1
         case other        => throw new IllegalArgumentException(s"unknown arg $other")
       }
@@ -60,6 +65,7 @@ object ExtractJob {
 
   def run(spark: SparkSession, args: Args): Unit = {
     import spark.implicits._
+    val io = TableIO.resolve(args.format)
     val metrics = Extraction.Metrics.register(spark)
     // progress markers go through the Hadoop FileSystem resolved from the
     // output URI so --output may be local, HDFS, or an object store
@@ -76,7 +82,7 @@ object ExtractJob {
       } else {
         val lo = pass * bucketsPerPass
         val hi = lo + bucketsPerPass
-        val turns = spark.read.parquet(args.input)
+        val turns = io.readInput(spark, args.input)
           .withColumn("_bucket", pmod(xxhash64(col("conv_id")), lit(args.buckets)))
           .filter(col("_bucket") >= lo && col("_bucket") < hi)
 
@@ -95,20 +101,19 @@ object ExtractJob {
 
         // stable turn ordering inside every bucket file: repartition by
         // bucket then sort (conv_id, turn_idx) within each writer task
-        extracted
-          .repartition(col("_bucket"))
-          .sortWithinPartitions(col("_bucket"), col("conv_id"), col("turn_idx"))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("_bucket")
-          .parquet(s"${args.output}/data/pass=$pass")
+        io.writePass(
+          extracted
+            .repartition(col("_bucket"))
+            .sortWithinPartitions(col("_bucket"), col("conv_id"), col("turn_idx")),
+          args.output, pass)
 
         val lin = Extraction.lineage(
-          spark.read.parquet(s"${args.output}/data/pass=$pass")
+          io.readPass(spark, args.output, pass)
             .drop("_bucket")
             .select($"conv_id", $"turn_idx", $"role", $"extracted_text", $"spans",
               $"n_parse_errors", $"first_parse_error", $"budget_error",
               $"n_chars_in", $"n_chars_out").as[ExtractedTurn])
-        lin.write.mode(SaveMode.Overwrite).parquet(s"${args.output}/_lineage/pass=$pass")
+        io.writeLineage(lin.toDF(), args.output, pass)
 
         val mOut = fs.create(marker, true)
         try mOut.write(s"pass=$pass\n".getBytes("UTF-8")) finally mOut.close()

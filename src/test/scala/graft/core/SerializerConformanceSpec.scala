@@ -24,6 +24,13 @@ class SerializerConformanceSpec extends AnyFunSuite {
       et("span"))) == "<span class=c id=i title=t></span>")
   }
 
+  test("attribute sort matches localeCompare on case-only differences") {
+    // Node's default-locale localeCompare orders lowercase first for equal
+    // case-folded names: ["A","a","Ab","aB"] sorts to a, A, aB, Ab
+    assert(serialize(Seq(st("span", "A" -> "1", "a" -> "2", "Ab" -> "3", "aB" -> "4"),
+      et("span"))) == "<span a=2 A=1 aB=4 Ab=3></span>")
+  }
+
   test("boolean attributes minimize when value equals name") {
     assert(serialize(Seq(empty("input", "checked" -> "checked"))) == "<input checked>")
     assert(serialize(Seq(empty("input", "checked" -> "CHECKED"))) == "<input checked>")

@@ -147,6 +147,37 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.size == 5, pairs)
   }
 
+  test("embeddingNearDups caps degenerate hyperplane buckets instead of exploding") {
+    import spark.implicits._
+    // 10k IDENTICAL embeddings land in one bucket: unguarded that join is
+    // ~10^8 candidate pairs (x9 with multi-probe); with the cap the bucket is
+    // dropped, the job completes quickly with zero pairs, and the overflow
+    // report names the dropped bucket with its width
+    val emb = Array.tabulate(16)(d => (d + 1).toFloat / 16f)
+    val df = (0L until 10000L).map(i => (i, emb)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, threshold = 0.9, nPlanes = 6,
+      dim = Some(16), maxBucket = 64)
+    assert(pairs.count() == 0L)
+    val overflow = Dedup.embeddingOverflowBuckets(df, nPlanes = 6,
+      dim = Some(16), maxBucket = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(overflow.length == 1 && overflow.head._2 == 10000L, overflow.toList)
+    // same cap pattern on the ANN path: a hot base bucket is excluded from
+    // scoring rather than scanned quadratically
+    val topk = Similarity.lshTopK(df, df.filter(col("vec_id") < 3), k = 5,
+      nPlanes = 6, dim = Some(16), maxBucket = 64)
+    assert(topk.count() == 0L)
+    assert(Similarity.lshOverflowBuckets(df, nPlanes = 6, dim = Some(16),
+      maxBucket = 64).count() == 1L)
+  }
+
+  test("nPlanesFor sizes the bucket space to the corpus") {
+    assert(Similarity.nPlanesFor(10000L, 64) == 8)
+    assert(Similarity.nPlanesFor(1000000000L, 64) == 24)
+    assert(Similarity.nPlanesFor(10L, 64) == 1)   // clamp low
+    assert(Similarity.nPlanesFor(Long.MaxValue, 1) == 30) // clamp high
+  }
+
   test("fingerprint column matches local fold") {
     import spark.implicits._
     val texts = Seq((1L, "table scan fast"), (2L, "a"), (3L, "big merge join query"))
