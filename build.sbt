@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // cap driver-JVM GC parallelism: this host throttles when >4 vCPUs are
+  // busy, and a wide GC burst during a local-cluster bench run would trip
+  // that while the executor JVMs are being timed (see BASELINE.md)
+  "-XX:ParallelGCThreads=4",
+  "-XX:ConcGCThreads=2",
 )
