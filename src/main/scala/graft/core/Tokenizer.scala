@@ -91,6 +91,36 @@ object TokenizerState {
   final val CdataSectionEnd = 70
 }
 
+/** Bounded process-wide intern table for already-lowercase tag names: tag
+  * names repeat massively across web-scale corpora, so reusing one String
+  * per distinct name skips a per-tag StringBuilder copy + allocation and
+  * gives every downstream name lookup (scope-flag caches, HtmlMeta maps) a
+  * String with a warm cached hashCode. Fixed power-of-two direct-mapped
+  * table: collisions simply overwrite (last-write-wins is safe — values are
+  * verified by region compare before reuse, and String is immutable), so
+  * unbounded junk names from untrusted input cannot grow it.
+  */
+private object TagNameInterner {
+  private final val Mask = 2047
+  private val slots = new Array[String](Mask + 1)
+
+  def lookup(input: String, from: Int, until: Int): String = {
+    var h = 0x811c9dc5
+    var i = from
+    while (i < until) { h = (h ^ input.charAt(i)) * 0x01000193; i += 1 }
+    val idx = (h ^ (h >>> 15)) & Mask
+    val existing = slots(idx)
+    val n = until - from
+    if (existing != null && existing.length == n &&
+        input.regionMatches(from, existing, 0, n)) existing
+    else {
+      val fresh = input.substring(from, until)
+      slots(idx) = fresh
+      fresh
+    }
+  }
+}
+
 final class Tokenizer(input: String, sink: TokenSink) {
   import TokenizerState._
 
@@ -273,11 +303,35 @@ final class Tokenizer(input: String, sink: TokenSink) {
   private val AttrValUqStops = stopMask("\t\n\f &>\"'<=`")
 
   // --- tag helpers ---
+  private var fastTagName: String = null
+
   private def startTag(isEnd: Boolean): Unit = {
     tag = new TagToken
     tag.isEnd = isEnd
     tag.start = tokenStart
     nameBuf.clear()
+    fastTagName = null
+  }
+
+  /** Whole-name fast path, called with `pos` at the first name character:
+    * when the complete name is already lowercase and ends at a plain stop
+    * char (ws / '/' / '>'), intern it in one step and leave `pos` at the
+    * stop char for the regular TagName dispatch. CR, NUL, uppercase or EOF
+    * fall back to the per-char path untouched — byte-identical semantics.
+    */
+  private def fastScanTagName(): Unit = {
+    var p = pos
+    while (p < len) {
+      val ch = input.charAt(p)
+      if (ch == '\t' || ch == '\n' || ch == '\f' || ch == ' ' ||
+          ch == '/' || ch == '>') {
+        fastTagName = TagNameInterner.lookup(input, pos, p)
+        pos = p
+        return
+      }
+      if ((ch >= 'A' && ch <= 'Z') || ch == '\u0000' || ch == '\r') return
+      p += 1
+    }
   }
 
   private def finishAttrName(): Unit = {
@@ -303,7 +357,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
   }
 
   private def emitTag(): Unit = {
-    tag.name = nameBuf.toString
+    tag.name = if (fastTagName != null) fastTagName else nameBuf.toString
     tag.end = pos
     flushChars()
     if (tag.isEnd) {
@@ -498,7 +552,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
           if (c == '!') state = MarkupDeclarationOpen
           else if (c == '/') state = EndTagOpen
           else if (isAsciiAlpha(c)) {
-            startTag(isEnd = false); reconsume(); state = TagName
+            startTag(isEnd = false); reconsume(); fastScanTagName(); state = TagName
           } else if (c == '?') {
             err("unexpected-question-mark-instead-of-tag-name")
             commentBuf.clear(); reconsume(); state = BogusComment
@@ -518,7 +572,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
         case EndTagOpen =>
           val c = read()
           if (isAsciiAlpha(c)) {
-            startTag(isEnd = true); reconsume(); state = TagName
+            startTag(isEnd = true); reconsume(); fastScanTagName(); state = TagName
           } else if (c == '>') {
             err("missing-end-tag-name"); state = Data
           } else if (c == EOF) {
