@@ -65,6 +65,34 @@ object PlanAudit {
     check("q_dedup_exact single shuffle with partial agg")(
       "Exchange".r.findAllIn(ddPlan).length == 1 && ddPlan.contains("HashAggregate"), ddPlan)
 
+    // 7. dataset digest: global aggregates must be PARTIAL before their
+    //    exchange (constant state per task, never a row concentration) and
+    //    the single-row cross join must not introduce a broadcast of data
+    val dg = graft.SparkEntry.queries("q_dataset_digest")(spark, sfDir)
+    val dgPlan = dg.queryExecution.executedPlan.toString
+    check("q_dataset_digest partial-aggregates before exchange")(
+      dgPlan.contains("HashAggregate") || dgPlan.contains("SortAggregate"), dgPlan)
+    check("q_dataset_digest single-row join is not a data shuffle join")(
+      !dgPlan.contains("SortMergeJoin"), dgPlan)
+
+    // 8. embedding near-dup (load-bounded): bucket-keyed joins only — the
+    //    plan must join on the bucket column, never a cartesian product
+    val ed = graft.SparkEntry.queries("q_embed_near_dup")(spark, sfDir)
+    val edPlan = ed.queryExecution.executedPlan.toString
+    check("q_embed_near_dup joins on bucket key (no cartesian)")(
+      !edPlan.contains("CartesianProduct"), edPlan)
+
+    // 9. pure-columnar text stats: no UDF (ScalaUDF / BatchEvalPython)
+    //    anywhere — everything is native expressions (higher-order
+    //    filter/transform lambdas sit above a codegen'd scan, shown as the
+    //    `*(n)` whole-stage markers in the executed plan)
+    val qual = graft.SparkEntry.queries("q_quality")(spark, sfDir)
+    val qualPlan = qual.queryExecution.executedPlan.toString
+    check("q_quality is UDF-free with a codegen'd scan")(
+      qualPlan.contains("*(") && !qualPlan.contains("ScalaUDF") &&
+        !qualPlan.contains("BatchEvalPython"),
+      qualPlan)
+
     println(if (failures == 0) "ALL PLAN CHECKS PASSED" else s"$failures CHECKS FAILED")
     spark.stop()
     if (failures > 0) sys.exit(1)
