@@ -91,14 +91,15 @@ object TokenizerState {
   final val CdataSectionEnd = 70
 }
 
-/** Bounded process-wide intern table for already-lowercase tag names: tag
-  * names repeat massively across web-scale corpora, so reusing one String
-  * per distinct name skips a per-tag StringBuilder copy + allocation and
-  * gives every downstream name lookup (scope-flag caches, HtmlMeta maps) a
-  * String with a warm cached hashCode. Fixed power-of-two direct-mapped
-  * table: collisions simply overwrite (last-write-wins is safe — values are
-  * verified by region compare before reuse, and String is immutable), so
-  * unbounded junk names from untrusted input cannot grow it.
+/** Bounded process-wide intern table for already-lowercase tag and
+  * attribute names: names repeat massively across web-scale corpora, so
+  * reusing one String per distinct name skips a per-token StringBuilder
+  * copy + allocation and gives every downstream name lookup (scope-flag
+  * caches, HtmlMeta maps, attribute scans) a String with a warm cached
+  * hashCode. Fixed power-of-two direct-mapped table: collisions simply
+  * overwrite (last-write-wins is safe — values are verified by region
+  * compare before reuse, and String is immutable), so unbounded junk names
+  * from untrusted input cannot grow it.
   */
 private object TagNameInterner {
   private final val Mask = 2047
@@ -334,8 +335,33 @@ final class Tokenizer(input: String, sink: TokenSink) {
     }
   }
 
+  /** Whole-name fast path for attribute names, called with `pos` at the
+    * first name character: succeeds only when the complete name is already
+    * lowercase and ends at a plain stop ('\t\n\f /' '>' '='); uppercase,
+    * NUL, CR, EOF and the error chars '"' '\'' '<' (which the per-char arm
+    * appends WITH a parse error) all fall back untouched.
+    */
+  private var fastAttrName: String = null
+
+  private def fastScanAttrName(): Unit = {
+    var p = pos
+    while (p < len) {
+      val ch = input.charAt(p)
+      if (ch == '\t' || ch == '\n' || ch == '\f' || ch == ' ' ||
+          ch == '/' || ch == '>' || ch == '=') {
+        fastAttrName = TagNameInterner.lookup(input, pos, p)
+        pos = p
+        return
+      }
+      if ((ch >= 'A' && ch <= 'Z') || ch == '\u0000' || ch == '\r' ||
+          ch == '"' || ch == '\'' || ch == '<') return
+      p += 1
+    }
+  }
+
   private def finishAttrName(): Unit = {
-    val n = attrNameBuf.toString
+    val n = if (fastAttrName != null) fastAttrName else attrNameBuf.toString
+    fastAttrName = null
     attrSkip = false
     if (tag.hasAttr(n)) {
       err("duplicate-attribute")
@@ -820,7 +846,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case _ =>
               attrNameBuf = new StringBuilder(16)
               attrStart = curStart
-              reconsume(); state = AttrName
+              reconsume(); fastScanAttrName(); state = AttrName
           }
 
         case AttrName =>
@@ -850,7 +876,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case _ =>
               attrNameBuf = new StringBuilder(16)
               attrStart = curStart
-              reconsume(); state = AttrName
+              reconsume(); fastScanAttrName(); state = AttrName
           }
 
         case BeforeAttrValue =>
