@@ -36,8 +36,19 @@ final case class ElementNode(
 ) extends HtmlNode {
   def kind: String = "element"
   def attr(name: String): Option[String] = {
+    // same comparison as the reference (case-insensitive via toLowerCase on
+    // both sides — toLowerCase returns `this` when already lowercase, so the
+    // common path allocates nothing); index loop instead of collectFirst
+    // keeps this hot lookup closure-free
     val target = name.toLowerCase
-    attributes.collectFirst { case a if a.name.toLowerCase == target => a.value }
+    val n = attributes.length
+    var i = 0
+    while (i < n) {
+      val a = attributes(i)
+      if (a.name.toLowerCase == target) return Some(a.value)
+      i += 1
+    }
+    None
   }
 }
 

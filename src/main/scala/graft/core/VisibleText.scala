@@ -39,7 +39,6 @@ object VisibleText {
   private final case class SourceMeta(nodeId: Int, nodeKind: String, role: String)
   private val DefaultSource = SourceMeta(-1, "document", "text-node")
   private final case class SourceChunk(value: String, meta: SourceMeta)
-  private final case class SourceChar(char: Char, meta: SourceMeta)
 
   /** CRLF/CR → LF. Allocation-free when the input has no '\r'. */
   private def normalizeNewlines(value: String): String = {
@@ -389,75 +388,90 @@ object VisibleText {
   // ------------------------------------------------------------------
   // provenance variant (reference: mod.ts:1638-1667): a parallel char-level
   // normalization pipeline with a consistency check + degraded fallback.
-  private def chunksToChars(chunks: ArrayBuffer[SourceChunk]): ArrayBuffer[SourceChar] = {
-    val out = new ArrayBuffer[SourceChar](chunks.map(_.value.length).sum)
+  /** Struct-of-arrays char stream: one char + one (shared) meta ref per
+    * position instead of a per-char SourceChar object — the normalize +
+    * tokenize pipeline touches every character of every document, so the
+    * object-per-char representation dominated extraction allocation.
+    * Valid window is [start, end).
+    */
+  private final class CharStream(
+      val chars: Array[Char], val metas: Array[SourceMeta],
+      val start: Int, val end: Int) {
+    def length: Int = end - start
+  }
+
+  private def chunksToChars(chunks: ArrayBuffer[SourceChunk]): CharStream = {
+    var total = 0
+    chunks.foreach(c => total += c.value.length)
+    val cs = new Array[Char](total)
+    val ms = new Array[SourceMeta](total)
+    var w = 0
     chunks.foreach { chunk =>
+      val v = chunk.value
+      val m = chunk.meta
       var i = 0
-      while (i < chunk.value.length) {
-        out += SourceChar(chunk.value.charAt(i), chunk.meta)
-        i += 1
-      }
+      while (i < v.length) { cs(w) = v.charAt(i); ms(w) = m; w += 1; i += 1 }
     }
-    out
+    new CharStream(cs, ms, 0, total)
   }
 
   private def isSpaceTabFf(c: Char): Boolean = c == ' ' || c == '\t' || c == '\f'
 
-  private def normalizeSourceChars(
-      chars: ArrayBuffer[SourceChar],
-      trim: Boolean
-  ): ArrayBuffer[SourceChar] = {
-    // pass 1: strip space/tab/ff before newlines (needs backtracking)
-    val beforeNl = new ArrayBuffer[SourceChar](chars.length)
-    var i = 0
-    while (i < chars.length) {
-      val entry = chars(i)
-      if (entry.char == '\n') {
-        while (beforeNl.nonEmpty && isSpaceTabFf(beforeNl(beforeNl.length - 1).char))
-          beforeNl.remove(beforeNl.length - 1)
+  private def normalizeSourceChars(in: CharStream, trim: Boolean): CharStream = {
+    // pass 1: strip space/tab/ff before newlines (backtracking write pointer)
+    val n = in.end
+    val cs = in.chars
+    val ms = in.metas
+    val c1 = new Array[Char](n)
+    val m1 = new Array[SourceMeta](n)
+    var w = 0
+    var i = in.start
+    while (i < n) {
+      val c = cs(i)
+      if (c == '\n') {
+        while (w > 0 && isSpaceTabFf(c1(w - 1))) w -= 1
       }
-      beforeNl += entry
+      c1(w) = c; m1(w) = ms(i); w += 1
       i += 1
     }
-    // pass 2 (fused): strip space/tab/ff after newlines, then collapse
-    // \n runs to 2, space runs to 1, tab runs to 1. Counters observe the
-    // post-strip stream exactly as the previously-sequential passes did
-    // (a char dropped by a collapse still resets the other classes' runs,
-    // which is equivalent because at least one char of every collapsed run
-    // survives adjacent to it) — byte-identical output, three fewer passes.
-    val out = new ArrayBuffer[SourceChar](beforeNl.length)
+    // pass 2 (fused, in place — the write index never passes the read
+    // index): strip space/tab/ff after newlines, then collapse \n runs to 2,
+    // space runs to 1, tab runs to 1. Counters observe the post-strip stream
+    // exactly as the previously-sequential passes did (a char dropped by a
+    // collapse still resets the other classes' runs, which is equivalent
+    // because at least one char of every collapsed run survives adjacent to
+    // it) — byte-identical output.
+    var w2 = 0
     var stage2Prev: Char = 0
     var nlRun = 0; var spRun = 0; var tabRun = 0
-    i = 0
-    while (i < beforeNl.length) {
-      val entry = beforeNl(i)
-      val c = entry.char
+    var r = 0
+    while (r < w) {
+      val c = c1(r)
       if (stage2Prev == '\n' && isSpaceTabFf(c)) {
         // dropped by strip-after-newline; stage2Prev stays '\n'
       } else {
         stage2Prev = c
+        var keep = true
         if (c == '\n') {
-          nlRun += 1; spRun = 0; tabRun = 0
-          if (nlRun <= 2) out += entry
+          nlRun += 1; spRun = 0; tabRun = 0; keep = nlRun <= 2
         } else if (c == ' ') {
-          spRun += 1; nlRun = 0; tabRun = 0
-          if (spRun <= 1) out += entry
+          spRun += 1; nlRun = 0; tabRun = 0; keep = spRun <= 1
         } else if (c == '\t') {
-          tabRun += 1; nlRun = 0; spRun = 0
-          if (tabRun <= 1) out += entry
+          tabRun += 1; nlRun = 0; spRun = 0; keep = tabRun <= 1
         } else {
           nlRun = 0; spRun = 0; tabRun = 0
-          out += entry
         }
+        if (keep) { c1(w2) = c; m1(w2) = m1(r); w2 += 1 }
       }
-      i += 1
+      r += 1
     }
-    if (!trim || out.isEmpty) return out
     var start = 0
-    var end = out.length
-    while (start < end && Character.isWhitespace(out(start).char)) start += 1
-    while (end > start && Character.isWhitespace(out(end - 1).char)) end -= 1
-    out.slice(start, end)
+    var end = w2
+    if (trim) {
+      while (start < end && Character.isWhitespace(c1(start))) start += 1
+      while (end > start && Character.isWhitespace(c1(end - 1))) end -= 1
+    }
+    new CharStream(c1, m1, start, end)
   }
 
   private def provTok(kind: String, value: String, m: SourceMeta): VisibleTextTokenWithProvenance =
@@ -467,33 +481,32 @@ object VisibleText {
       m.nodeKind, m.role
     )
 
-  private def tokenizeWithChars(chars: ArrayBuffer[SourceChar]): Vector[VisibleTextTokenWithProvenance] = {
+  private def tokenizeWithChars(st: CharStream): Vector[VisibleTextTokenWithProvenance] = {
     val tokens = Vector.newBuilder[VisibleTextTokenWithProvenance]
-    var cursor = 0
-    while (cursor < chars.length) {
-      val cur = chars(cursor)
-      if (cur.char == '\n' && cursor + 1 < chars.length && chars(cursor + 1).char == '\n') {
-        tokens += provTok("paragraphBreak", "\n\n", cur.meta)
+    val cs = st.chars
+    val ms = st.metas
+    val end = st.end
+    var cursor = st.start
+    while (cursor < end) {
+      val c = cs(cursor)
+      if (c == '\n' && cursor + 1 < end && cs(cursor + 1) == '\n') {
+        tokens += provTok("paragraphBreak", "\n\n", ms(cursor))
         cursor += 2
-      } else if (cur.char == '\n') {
-        tokens += provTok("lineBreak", "\n", cur.meta)
+      } else if (c == '\n') {
+        tokens += provTok("lineBreak", "\n", ms(cursor))
         cursor += 1
-      } else if (cur.char == '\t') {
-        tokens += provTok("tab", "\t", cur.meta)
+      } else if (c == '\t') {
+        tokens += provTok("tab", "\t", ms(cursor))
         cursor += 1
       } else {
-        val sb = new java.lang.StringBuilder
-        val source = cur.meta
-        var break = false
-        while (!break && cursor < chars.length) {
-          val entry = chars(cursor)
-          if (entry.char == '\n' || entry.char == '\t' || entry.meta != source) break = true
-          else {
-            sb.append(entry.char)
-            cursor += 1
-          }
-        }
-        tokens += provTok("text", sb.toString, source)
+        // text run: same source meta (VALUE equality, matching the previous
+        // per-char comparison — equal metas from different chunks merge),
+        // broken by \n and \t
+        val source = ms(cursor)
+        val from = cursor
+        while (cursor < end && cs(cursor) != '\n' && cs(cursor) != '\t' &&
+               ms(cursor) == source) cursor += 1
+        tokens += provTok("text", new String(cs, from, cursor - from), source)
       }
     }
     tokens.result()
@@ -516,11 +529,8 @@ object VisibleText {
     val collector = collectFrom(children, options, withChunks = true)
     val output = normalizeOutput(collector.parts.toString, options.trim)
     val normalizedChars = normalizeSourceChars(chunksToChars(collector.chunks), options.trim)
-    val normalizedOutput = {
-      val sb = new java.lang.StringBuilder(normalizedChars.length)
-      normalizedChars.foreach(c => sb.append(c.char))
-      sb.toString
-    }
+    val normalizedOutput =
+      new String(normalizedChars.chars, normalizedChars.start, normalizedChars.length)
     val tokens =
       if (normalizedOutput != output) {
         // degraded fallback: tokenize the string output without provenance
