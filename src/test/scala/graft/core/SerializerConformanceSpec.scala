@@ -104,6 +104,13 @@ class SerializerConformanceSpec extends AnyFunSuite {
       "<p>x</p><span>y</span>")
   }
 
+  test("trailing optional dd end tag omits but dt end tag stays") {
+    // reference holdout regression (test/control/holdout-regressions.test.js):
+    // a bare </dd> at end-of-stream is omissible, a bare </dt> is not
+    assert(serialize(Seq(et("dd"))) == "")
+    assert(serialize(Seq(et("dt"))) == "</dt>")
+  }
+
   test("list and table end tags omit before peers") {
     assert(serialize(Seq(st("ul"), st("li"), ch("a"), et("li"),
       st("li"), ch("b"), et("li"), et("ul"))) == "<ul><li>a<li>b</ul>")
