@@ -402,15 +402,21 @@ object VisibleText {
 
   private def chunksToChars(chunks: ArrayBuffer[SourceChunk]): CharStream = {
     var total = 0
-    chunks.foreach(c => total += c.value.length)
+    var ci = 0
+    while (ci < chunks.length) { total += chunks(ci).value.length; ci += 1 }
     val cs = new Array[Char](total)
     val ms = new Array[SourceMeta](total)
     var w = 0
-    chunks.foreach { chunk =>
+    ci = 0
+    while (ci < chunks.length) {
+      val chunk = chunks(ci)
       val v = chunk.value
       val m = chunk.meta
+      v.getChars(0, v.length, cs, w)
       var i = 0
-      while (i < v.length) { cs(w) = v.charAt(i); ms(w) = m; w += 1; i += 1 }
+      while (i < v.length) { ms(w + i) = m; i += 1 }
+      w += v.length
+      ci += 1
     }
     new CharStream(cs, ms, 0, total)
   }
