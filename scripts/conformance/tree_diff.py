@@ -133,6 +133,60 @@ def corpus():
     rng = random.Random(seed0 ^ 0x9E3779B9)
     for _ in range(3000):
         cases.append(rand_case())
+
+    # TREE_DIFF_PROFILE=wild appends a gnarlier generation: mixed-case tag
+    # and attribute names (exercises the interner fallback paths
+    # differentially), CR/CRLF injection, NULs inside names/attrs/text,
+    # duplicate attributes, quote soup, and longer documents.
+    if os.environ.get('TREE_DIFF_PROFILE') == 'wild':
+        rng = random.Random(seed0 ^ 0x5DEECE66D)
+        def wild_name(base):
+            # randomly uppercase some letters
+            return "".join(
+                ch.upper() if ch.isalpha() and rng.random() < 0.4 else ch
+                for ch in base)
+        attr_vals = ["1", "x y", "", "a&amp;b", "a\tb", "<braces>", "it's",
+                     'say "hi"', "a\rb", "a\r\nb"]
+        def wild_case():
+            parts = []
+            for _ in range(rng.randint(10, 40)):
+                r = rng.random()
+                if r < 0.40:
+                    t = wild_name(rng.choice(tags))
+                    attrs = []
+                    for _ in range(rng.randint(0, 4)):
+                        an = wild_name(rng.choice(
+                            ["a", "class", "id", "hidden", "data-x", "style", "a"]))
+                        if rng.random() < 0.3:
+                            attrs.append(f" {an}")
+                        else:
+                            v = rng.choice(attr_vals)
+                            q = rng.choice(['"', "'", ""])
+                            if q == "" and (" " in v or "\t" in v or '"' in v
+                                            or "'" in v or v == ""):
+                                q = '"'
+                            if q == '"' and '"' in v:
+                                q = "'"
+                            attrs.append(f" {an}={q}{v}{q}")
+                    parts.append(f"<{t}{''.join(attrs)}>")
+                elif r < 0.62:
+                    parts.append(f"</{wild_name(rng.choice(tags))}>")
+                elif r < 0.72:
+                    parts.append(rng.choice(frags))
+                elif r < 0.80:
+                    parts.append(rng.choice(["\r", "\r\n", "\x00", "a\x00b",
+                                             "<\x00", "</\x00", "< x", "</ x"]))
+                elif r < 0.90:
+                    # half-open constructs
+                    parts.append(rng.choice(
+                        ["<div", "<div a", "<div a=", "<div a='x", "<div a=\"x",
+                         "</div", "<!-", "<!--", "<![CDATA[", "<!doctype"]))
+                else:
+                    parts.append(rng.choice(["plain words here", "&#x41;&#66;",
+                                             "mid&notit;text", "t\r\nnext"]))
+            return "".join(parts)
+        for _ in range(3000):
+            cases.append(wild_case())
     return cases
 
 

@@ -920,15 +920,61 @@ final class TreeBuilder(
       insertCharacters("�", start, start + 1)
       return
     }
+    processNull(start)
+  }
+
+  /** NULL character tokens outside foreign content follow the reference's
+    * onNullCharacter mode switch (parser/index.js:770-824): the token itself
+    * is never inserted (except the literal NUL in TEXT mode), but it DRIVES
+    * the pre-body structural transitions (quirks, html/head/body insertion),
+    * re-enters table-text buffering, pops an open colgroup, and knocks
+    * after-body modes back to in-body — and in every other mode it is
+    * silently ignored (parse5's parser adds no error here; the tokenizer
+    * already reported unexpected-null-character).
+    */
+  private def processNull(start: Int): Unit = {
     mode match {
+      case Initial =>
+        document.quirksMode = "quirks"
+        mode = BeforeHtml
+        processNull(start)
+      case BeforeHtml =>
+        insertHtmlRoot(); mode = BeforeHead; processNull(start)
+      case BeforeHead =>
+        headElement = insertFakeElement("head"); mode = InHead; processNull(start)
+      case InHead =>
+        pop(); mode = AfterHead; processNull(start)
+      case InHeadNoscript =>
+        err("unexpected-char-in-noscript", start, start + 1)
+        pop(); mode = InHead; processNull(start)
+      case AfterHead =>
+        insertFakeElement("body")
+        mode = InBody // the null itself is then ignored in body
       case Text =>
-        // tokenizer already replaced NULs in RCDATA/RAWTEXT/script data
-        insertCharacters("�", start, start + 1)
-      case InTableText =>
-        err("unexpected-null-character", start, start + 1)
-      case Undefined => // dropped, no error (see InsertionMode.Undefined)
-      case _ =>
-        err("unexpected-null-character", start, start + 1)
+        // parse5 TEXT mode inserts the literal NUL (its tokenizer replaces
+        // NULs in the rawtext states, so this only ever fires for exotic
+        // driver-forced states — mirrored for exactness)
+        insertCharacters("\u0000", start, start + 1)
+      case InTable | InTableBody | InRow =>
+        // characterInTable: over a table-structure element the pending
+        // buffer resets and mode enters "in table text" (the null ignored);
+        // otherwise modeInBody ignores the null entirely. The structure
+        // check is tagID-based in parse5, hence namespace-blind here.
+        val t = current
+        if (t != null && (t.tagName == "table" || t.tagName == "tbody" ||
+            t.tagName == "tfoot" || t.tagName == "thead" || t.tagName == "tr")) {
+          pendingTableChars.clear()
+          originalMode = mode
+          mode = InTableText
+        }
+      case InColumnGroup =>
+        if (current != null && current.tagName == "colgroup") {
+          pop(); mode = InTable; processNull(start)
+        }
+      case AfterBody | AfterAfterBody =>
+        mode = InBody // modeInBody then ignores the null
+      case _ => // ignored (in body, caption, cell, select, template,
+                // frameset modes, in-table-text, Undefined)
     }
   }
 

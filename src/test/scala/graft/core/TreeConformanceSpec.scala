@@ -53,6 +53,20 @@ class TreeConformanceSpec extends AnyFunSuite {
     assert(cases.size >= 25)
   }
 
+  test("null token drives the pre-body mode machine like parse5") {
+    // distilled from the wild-profile differential sweep: a NUL character
+    // token is never inserted outside foreign content, but in the pre-body
+    // modes it triggers the same structural transitions as any other
+    // character (quirks + html/head/body insertion), so a following comment
+    // lands in BODY, not on the document (parser/index.js:770-824)
+    assert(Serializer.normalizedParse("\u0000<!--c--><p>x") ==
+      "| <html>\n|   <head>\n|   <body>\n|     <!-- c -->\n|     <p>\n|       \"x\"")
+    // in-table NUL re-enters table-text buffering (pending reset, token
+    // dropped) rather than foster-parenting anything
+    assert(Serializer.normalizedParse("<table>\u0000<td>x</table>") ==
+      "| <html>\n|   <head>\n|   <body>\n|     <table>\n|       <tbody>\n|         <tr>\n|           <td>\n|             \"x\"")
+  }
+
   for (c <- cases) {
     test(s"tree ${c.file} #${c.idx}: ${c.data.take(48).replace("\n", "\\n")}") {
       val actual = c.fragment match {
