@@ -63,6 +63,37 @@ def corpus():
         s = rand_snippet()
         for c in contexts:
             cases.append((c, s))
+
+    # FRAG_DIFF_PROFILE=wild: mixed-case tags/attrs, CR/CRLF, NULs,
+    # half-open constructs inside every fragment context
+    if os.environ.get('FRAG_DIFF_PROFILE') == 'wild':
+        def wild_name(base):
+            return "".join(
+                ch.upper() if ch.isalpha() and rng.random() < 0.4 else ch
+                for ch in base)
+        def wild_snippet():
+            parts = []
+            for _ in range(rng.randint(4, 12)):
+                r = rng.random()
+                if r < 0.35:
+                    attrs = ""
+                    if rng.random() < 0.5:
+                        attrs = f" {wild_name('class')}='x y' {wild_name('id')}"
+                    parts.append(f"<{wild_name(rng.choice(tags))}{attrs}>")
+                elif r < 0.6:
+                    parts.append(f"</{wild_name(rng.choice(tags))}>")
+                elif r < 0.72:
+                    parts.append(rng.choice(frags))
+                elif r < 0.84:
+                    parts.append(rng.choice(["\r", "\r\n", "\x00", "a\x00b",
+                                             "< x", "</ x", "<div a='x"]))
+                else:
+                    parts.append(rng.choice(["words go here", "t\r\nnext"]))
+            return "".join(parts)
+        for _ in range(40):
+            s = wild_snippet()
+            for c in contexts:
+                cases.append((c, s))
     return cases
 
 

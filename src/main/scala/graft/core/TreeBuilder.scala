@@ -910,8 +910,19 @@ final class TreeBuilder(
     } else processChars(data, isWs = true, start, end)
   }
 
+  private var lastNullEnd = -1
+
   override def onNull(start: Int): Unit = {
     if (stopped) return
+    // the reference's tokenizer accumulates CONSECUTIVE NULs into ONE
+    // NULL_CHARACTER token (same-type character-token batching), so the
+    // parser dispatches once per run: foreign content replaces the whole
+    // run with a single U+FFFD (and errs once), and the mode machine fires
+    // once. Input positions are strictly consumed by every token, so
+    // "previous event was the NUL ending exactly here" identifies a run.
+    val adjacent = start == lastNullEnd
+    lastNullEnd = start + 1
+    if (adjacent) return
     curTokStart = start; curTokEnd = start + 1; curTokEndTagName = null
     setTokContext("NULL_CHARACTER", null)
     ignoreNextLf = false

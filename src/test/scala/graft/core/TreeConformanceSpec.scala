@@ -67,6 +67,17 @@ class TreeConformanceSpec extends AnyFunSuite {
       "| <html>\n|   <head>\n|   <body>\n|     <table>\n|       <tbody>\n|         <tr>\n|           <td>\n|             \"x\"")
   }
 
+  test("consecutive nulls batch into one token like parse5") {
+    // the reference tokenizer accumulates adjacent NULs into ONE
+    // NULL_CHARACTER token, so foreign content replaces the whole run with
+    // a SINGLE U+FFFD (distilled from the wild-profile sweep, seed 0x0DDBA11)
+    assert(Serializer.normalizedParse("<svg><![CDATA[a\u0000\u0000b]]></svg>") ==
+      "| <html>\n|   <head>\n|   <body>\n|     <svg svg>\n|       \"a\uFFFDb\"")
+    // non-adjacent NULs stay separate tokens: one replacement each
+    assert(Serializer.normalizedParse("<svg><![CDATA[a\u0000x\u0000b]]></svg>") ==
+      "| <html>\n|   <head>\n|   <body>\n|     <svg svg>\n|       \"a\uFFFDx\uFFFDb\"")
+  }
+
   for (c <- cases) {
     test(s"tree ${c.file} #${c.idx}: ${c.data.take(48).replace("\n", "\\n")}") {
       val actual = c.fragment match {
