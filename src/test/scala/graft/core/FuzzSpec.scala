@@ -58,6 +58,53 @@ class FuzzSpec extends AnyFunSuite {
   private val fragmentGen: Gen[String] = mkFragmentGen(tagGen)
   private val roundtripGen: Gen[String] = mkFragmentGen(roundtripTagGen)
 
+  test("no-hang: seeded adversarial corpus parses + extracts within budget") {
+    // mirror of the reference's fuzz no-hang gate (scripts/fuzz/run-fuzz.mjs:
+    // ≤25 ms/doc over 600 seeded docs) with pathological-by-construction
+    // inputs and a generous budget so a loaded CI host cannot flake it —
+    // what it guards against is quadratic blowups (formatting towers,
+    // adoption-agency pressure, attr floods, NUL floods), which show up as
+    // seconds, not milliseconds
+    val rng = new scala.util.Random(0x9e3779b9L)
+    val pathological = Seq(
+      "<b><i><u><s>" * 300 + "x",                    // reconstruct tower
+      "<p>" * 1000 + "x",
+      "<table>" * 200 + "x",
+      "<a href=x>" * 500 + "y",                      // Noah's Ark pressure
+      "</b>" * 2000,
+      "<div " + (1 to 300).map(i => s"a$i=v").mkString(" ") + ">x</div>",
+      "\u0000" * 2000, // NUL flood (batched tokens)
+      "&" + "amp" * 1000 + ";",
+      "<svg>" + "<![CDATA[x]]>" * 500,
+      "<!--" + "x" * 10000,
+      "<li>" * 800 + "</li>" * 800,
+      "<b>" * 64 + "<div>" * 64 + "</b>" * 64 + "x") // adoption agency runs
+    val vocab = Vector("<div>", "</div>", "<b>", "</i>", "<table>", "<td>",
+      "</p>", "<svg>", "</math>", "x y ", "&amp;", "&#0;", "<!-- c -->",
+      "\u0000", "<a href=1>", "</a>", "<template>", "<select>", "<option>")
+    def randDoc(): String =
+      (0 until (20 + rng.nextInt(60))).map(_ => vocab(rng.nextInt(vocab.length))).mkString
+    val docs = pathological ++ Vector.fill(588)(randDoc())
+    // deep towers need the pipeline's 64MB worker stack (see Extraction)
+    var slow: Seq[(Int, Double)] = null
+    var thrown: Throwable = null
+    val worker = new Thread(null, () => {
+      try {
+        docs.take(30).foreach(d => VisibleText.ofDocument(HtmlParser.parse(d))) // JIT warm
+        slow = docs.zipWithIndex.flatMap { case (d, i) =>
+          val t0 = System.nanoTime()
+          VisibleText.ofDocument(HtmlParser.parse(d))
+          val ms = (System.nanoTime() - t0) / 1e6
+          if (ms > 500.0) Some(i -> ms) else None
+        }
+      } catch { case t: Throwable => thrown = t }
+    }, "fuzz-nohang", 64L * 1024 * 1024)
+    worker.start(); worker.join(120000L)
+    assert(thrown == null, s"no-hang corpus threw: $thrown")
+    assert(slow != null, "no-hang corpus did not finish within 120s")
+    assert(slow.isEmpty, s"docs over 500ms budget: $slow")
+  }
+
   test("parser is total: never throws on structured-fuzz inputs") {
     check(Prop.forAll(fragmentGen) { html =>
       val tree = HtmlParser.parse(html)
