@@ -187,6 +187,54 @@ def corpus():
             return "".join(parts)
         for _ in range(3000):
             cases.append(wild_case())
+
+    # TREE_DIFF_PROFILE=decl: markup-declaration and rawtext-escape soup —
+    # comment terminators (--!>, <!-->, <!--->), doctype public/system id
+    # variants and bogus doctypes, CDATA endings, script double-escape
+    # state machine, RCDATA/rawtext end-tag near-misses.
+    if os.environ.get('TREE_DIFF_PROFILE') == 'decl':
+        rng = random.Random(seed0 ^ 0x2545F491)
+        decl_bits = [
+            "<!-- c -->", "<!-->", "<!--->", "<!-- c --!>", "<!-- c --!",
+            "<!-- a -- b -->", "<!-- <!-- -->", "<!--<",  "<!--<!",
+            "<!-- c ->", "<!---->", "<!a>", "<![CDATA[x]]>", "<![CDATA[x]>",
+            "<![CDATA[x]", "<![cdata[x]]>", "<!doctype html>",
+            "<!DOCTYPE html PUBLIC 'a' 'b'>", "<!DOCTYPE html SYSTEM 'sys'>",
+            "<!DOCTYPE html PUBLIC>", "<!DOCTYPE html PUBLIC 'unterminated",
+            "<!doctype html x y>", "<!doctype>", "<!DOCTYPE  html  >",
+            "<!DOCTYPE html SYSTEM \"s\" junk>",
+            "<?pi data?>", "</>", "<//>", "</ >",
+        ]
+        raw_bits = [
+            "<script>a<b</script>", "<script><!--x--></script>",
+            "<script><!--<script>y</script>--></script>",
+            "<script><!--<script>y--></script>z</script>",
+            "<script><!--<script></scr</script>ipt>--></script>",
+            "<style>a{<}</style>", "<title>a</titl></title>",
+            "<textarea></textare></textarea>", "<xmp><b></xm</xmp>",
+            "<script></scrIPT >", "<script></script x>", "<script></script/>",
+            "<title>&amp;</title>", "<noframes>x</noframes>",
+            "<iframe>y</iframe>", "<noscript><p>n</noscript>",
+            "<plaintext>rest", "<script><!--</script>-->after",
+        ]
+        body_bits = ["<p>t</p>", "x y", "<div>", "</div>", "<table><td>c</table>"]
+        def decl_case():
+            parts = []
+            for _ in range(rng.randint(4, 14)):
+                r = rng.random()
+                if r < 0.45:
+                    parts.append(rng.choice(decl_bits))
+                elif r < 0.8:
+                    parts.append(rng.choice(raw_bits))
+                else:
+                    parts.append(rng.choice(body_bits))
+            case = "".join(parts)
+            # EOF-truncation arm: half the cases get chopped mid-construct
+            if rng.random() < 0.5:
+                case = case[: rng.randint(1, len(case))]
+            return case
+        for _ in range(3000):
+            cases.append(decl_case())
     return cases
 
 
