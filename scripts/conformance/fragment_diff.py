@@ -94,6 +94,39 @@ def corpus():
             s = wild_snippet()
             for c in contexts:
                 cases.append((c, s))
+
+    # FRAG_DIFF_PROFILE=foreign: foreign-content snippets (integration
+    # points, breakout tags, adjusted attrs, self-closing foreign elements,
+    # CDATA) inside an EXTENDED context list that covers the MathML-text and
+    # HTML integration-point contexts plus rawtext-ish contexts.
+    if os.environ.get('FRAG_DIFF_PROFILE') == 'foreign':
+        f_contexts = contexts + ["annotation-xml", "desc", "mtext", "ms",
+                                 "mo", "mn", "noscript", "optgroup", "rt",
+                                 "rp", "ruby", "tfoot", "thead", "g",
+                                 "text", "mrow"]
+        f_bits = ["<svg>", "</svg>", "<math>", "</math>", "<mi>x</mi>",
+                  "<foreignObject><p>h</p></foreignObject>",
+                  "<annotation-xml encoding='text/html'><div>d</div></annotation-xml>",
+                  "<annotation-xml>plain</annotation-xml>",
+                  "<use xlink:href='#a'/>", "<g xml:lang=en>",
+                  "<circle/>", "<font color=red>c</font>", "<font a=b>f</font>",
+                  "<b>break</b>", "<table><td>t</table>", "<template>t</template>",
+                  "<![CDATA[cd]]>", "&#0;", "\x00", "<desc><b>d</b></desc>",
+                  "</foreignObject>", "</annotation-xml>", "</mtext>",
+                  "<mtext><span>s</span></mtext>", "<p>para", "</rt>x",
+                  "<select><option>o", "<textPath xlink:href='#p'>tp</textPath>"]
+        def foreign_snippet():
+            parts = []
+            for _ in range(rng.randint(2, 8)):
+                parts.append(rng.choice(f_bits))
+            s = "".join(parts)
+            if rng.random() < 0.25:
+                s = s[: rng.randint(1, len(s))]
+            return s
+        for _ in range(40):
+            s = foreign_snippet()
+            for c in f_contexts:
+                cases.append((c, s))
     return cases
 
 

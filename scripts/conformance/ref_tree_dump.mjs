@@ -23,8 +23,14 @@ function elementName(node) {
 }
 
 function attrName(a) {
-  if (a.prefix !== undefined && a.prefix.length > 0 && a.name.includes(':')) {
-    return `${a.prefix} ${a.name.slice(a.prefix.length + 1)}`;
+  if (a.prefix !== undefined && a.prefix.length > 0) {
+    // parse5's adjustTokenXMLAttrs rewrites `name` to the LOCAL part and
+    // moves the qualifier into `prefix` (foreign-content.js:70-85,193-200),
+    // so strip a leading "prefix:" only when it is actually present.
+    const local = a.name.startsWith(`${a.prefix}:`)
+      ? a.name.slice(a.prefix.length + 1)
+      : a.name;
+    return `${a.prefix} ${local}`;
   }
   return a.name;
 }

@@ -188,6 +188,67 @@ def corpus():
         for _ in range(3000):
             cases.append(wild_case())
 
+    # TREE_DIFF_PROFILE=foreign: SVG/MathML soup — integration points (HTML
+    # and MathML-text), breakout tags, <font> with/without color/face/size,
+    # adjusted tag/attr names in mixed case, self-closing foreign elements,
+    # templates inside foreign content, CDATA, NULs, and </rt>-style strays.
+    if os.environ.get('TREE_DIFF_PROFILE') == 'foreign':
+        rng = random.Random(seed0 ^ 0x1F83D9AB)
+        f_opens = ["<svg>", "<math>", "<svg><g>", "<math><mrow>",
+                   "<foreignObject>", "<foreignobject>", "<FOREIGNOBJECT>",
+                   "<desc>", "<title>", "<annotation-xml>",
+                   "<annotation-xml encoding='text/html'>",
+                   "<annotation-xml encoding='application/xhtml+xml'>",
+                   "<annotation-xml encoding='TEXT/HTML'>",
+                   "<annotation-xml encoding='text/plain'>",
+                   "<mi>", "<mo>", "<mn>", "<ms>", "<mtext>",
+                   "<template>", "<table>", "<tr>", "<td>", "<caption>",
+                   "<select>", "<option>", "<ruby>", "<rt>", "<rp>",
+                   "<textPath>", "<textpath>", "<clipPath>", "<lineargradient>",
+                   "<altGlyph>", "<glyphref>", "<animateMotion>"]
+        f_closes = ["</svg>", "</math>", "</g>", "</mrow>", "</foreignObject>",
+                    "</desc>", "</title>", "</annotation-xml>", "</mi>",
+                    "</mtext>", "</template>", "</table>", "</tr>", "</td>",
+                    "</select>", "</rt>", "</rp>", "</ruby>", "</option>",
+                    "</p>", "</body>", "</html>", "</caption>"]
+        f_break = ["<b>", "<div>", "<p>", "<table>", "<img>", "<br>", "<hr>",
+                   "<h1>", "<li>", "<meta>", "<pre>", "<sub>", "<nobr>",
+                   "<font color=red>", "<font face=arial>", "<font size=3>",
+                   "<font a=b>", "<font>", "<FONT COLOR=x>", "<embed>",
+                   "<span>", "<code>", "<center>", "<listing>", "<strike>"]
+        f_self = ["<circle/>", "<g/>", "<path d='M0 0'/>", "<mi/>",
+                  "<foreignObject/>", "<rect width=1 height=1/>",
+                  "<use xlink:href='#a'/>", "<template/>", "<svg/>", "<math/>"]
+        f_text = ["x", "a b", "&amp;", "&notin;", "&#0;", "\x00", "a\x00b",
+                  "<![CDATA[cd]]>", "<![CDATA[cd", "<!-- c -->", "&#x41;",
+                  "<?pi?>"]
+        f_attr = [" xlink:href='u'", " xml:lang=en", " xmlns='s'",
+                  " xmlns:xlink='x'", " XLINK:HREF='u'", " definitionURL=d",
+                  " viewBox='0 0 1 1'", " viewbox='0 0 1 1'", ""]
+        def foreign_case():
+            parts = []
+            for _ in range(rng.randint(6, 26)):
+                r = rng.random()
+                if r < 0.34:
+                    o = rng.choice(f_opens)
+                    if o.endswith(">") and rng.random() < 0.25 and "=" not in o:
+                        o = o[:-1] + rng.choice(f_attr) + ">"
+                    parts.append(o)
+                elif r < 0.56:
+                    parts.append(rng.choice(f_closes))
+                elif r < 0.70:
+                    parts.append(rng.choice(f_break))
+                elif r < 0.80:
+                    parts.append(rng.choice(f_self))
+                else:
+                    parts.append(rng.choice(f_text))
+            case = "".join(parts)
+            if rng.random() < 0.3:
+                case = case[: rng.randint(1, len(case))]
+            return case
+        for _ in range(3000):
+            cases.append(foreign_case())
+
     # TREE_DIFF_PROFILE=decl: markup-declaration and rawtext-escape soup —
     # comment terminators (--!>, <!-->, <!--->), doctype public/system id
     # variants and bogus doctypes, CDATA endings, script double-escape

@@ -231,6 +231,34 @@ object HtmlParser {
     else if (span.isDefined) SpanProvenance.Input
     else SpanProvenance.Inferred
 
+  /** True when the tree builder's SVG/MathML attribute adjustment renamed
+    * this attribute. Tokenized attribute names are ASCII-lowercased, so an
+    * uppercase letter (`viewBox`, `definitionURL`) or the internal
+    * `"prefix local"` space form (`xlink href`) proves an adjustment
+    * happened (reference: parse5 foreign-content.js:29-90).
+    */
+  private def attrWasAdjusted(name: String): Boolean = {
+    var i = 0
+    while (i < name.length) {
+      val c = name.charAt(i)
+      if (c == ' ' || (c >= 'A' && c <= 'Z')) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Public name of an adjusted attribute — the LOCAL part. parse5 moves the
+    * `xlink:`/`xml:`/`xmlns:` qualifier into a separate prefix field and the
+    * reference's formatAttributeName (build.ts:145-150) never re-attaches it
+    * (its `name.includes(":")` branch cannot fire post-adjustment), so the
+    * reference's public tree names e.g. `xlink:href` in foreign content
+    * plain `href`.
+    */
+  private def publicAttrName(name: String): String = {
+    val sp = name.indexOf(' ')
+    if (sp >= 0) name.substring(sp + 1) else name
+  }
+
   private def convertNode(
       node: DomNode,
       depth: Int,
@@ -270,7 +298,10 @@ object HtmlParser {
         }
         state.budgets.maxAttributeBytes.foreach { m =>
           var total = 0
-          el.attrs.foreach(a => total += a.name.length + a.value.length)
+          // byte budget counts the FORMATTED name and includes attributes the
+          // dedup below skips (reference: build.ts:209-216 accumulates before
+          // the `seen` check)
+          el.attrs.foreach(a => total += publicAttrName(a.name).length + a.value.length)
           if (total > m)
             state.errors += new ErrRec("max-attribute-bytes-exceeded", 0, 0, false)
         }
@@ -292,15 +323,39 @@ object HtmlParser {
       val attrs =
         if (el.attrs.isEmpty) Vector.empty[Attr]
         else {
+          // Mirrors the reference's public attribute normalization
+          // (build.ts:195-235): the parser-adjusted attr surfaces under its
+          // LOCAL name (parse5 moves the `xlink:`/`xml:`/`xmlns:` qualifier
+          // into a separate prefix field, and formatAttributeName's
+          // `name.includes(":")` branch never fires post-adjustment, so the
+          // reference's public name for e.g. `xlink:href` in foreign content
+          // is plain `href`); collisions after formatting keep the FIRST
+          // occurrence; and adjusted attrs carry NO span (the reference's
+          // location lookup is keyed by the tokenized name, which the
+          // adjustment renamed away — build.ts:218).
+          // fast pre-scan: only elements with at least one adjusted attr pay
+          // for the rename/dedup path (tokenized names are ASCII-lowercased,
+          // so dedup-by-exact-name already happened in the tokenizer)
+          var anyAdjusted = false
+          var j = 0
+          while (j < el.attrs.length && !anyAdjusted) {
+            if (attrWasAdjusted(el.attrs(j).name)) anyAdjusted = true
+            j += 1
+          }
           val b = Vector.newBuilder[Attr]
+          val seen = if (anyAdjusted) new java.util.HashSet[String]() else null
           var i = 0
           while (i < el.attrs.length) {
             val a = el.attrs(i)
-            val sp =
-              if (state.captureSpans && a.start >= 0 && a.end >= a.start)
-                Some(Span(a.start, a.end))
-              else None
-            b += Attr(a.name, a.value, sp)
+            val adjusted = anyAdjusted && attrWasAdjusted(a.name)
+            val name = if (adjusted) publicAttrName(a.name) else a.name
+            if (seen == null || seen.add(name)) {
+              val sp =
+                if (state.captureSpans && !adjusted && a.start >= 0 && a.end >= a.start)
+                  Some(Span(a.start, a.end))
+                else None
+              b += Attr(name, a.value, sp)
+            }
             i += 1
           }
           b.result()
