@@ -1,0 +1,216 @@
+#!/usr/bin/env python3
+"""Differential EXTRACTION oracle: run the reference's real public API
+(type-stripped to plain JS by ts_strip.py, executed by node via
+ref_extract_dump.mjs) and our Scala engine (graft.tools.ExtractDiffDump)
+over a deterministic extraction-focused corpus, and compare every public
+extraction surface structurally: visibleText under each option toggle,
+visibleTextTokens, provenance tokens, textContent, outline and chunk.
+
+This is the second-opinion oracle for the layer the parse5-only tree diff
+cannot reach (reference src/public/mod.ts:1035-1500, :1616-1782).
+
+Usage: python3 scripts/conformance/ts_strip.py   # once, builds /tmp/refjs
+       python3 scripts/conformance/extract_diff.py
+Run from the repo root. Requires `sbt -batch compile` beforehand.
+Env: EXTRACT_DIFF_SEED=0x... varies the fuzz half of the corpus.
+"""
+import base64
+import json
+import os
+import random
+import subprocess
+import sys
+import tempfile
+
+
+def corpus():
+    cases = [
+        # whitespace normalization + breaks
+        "<p>a  b\tc\nd</p><p>e</p>",
+        "<div>one<br>two<br><br>three</div>",
+        "<p>lead</p>   <p>trail</p>",
+        "a<b> b</b> c<i>d </i>e",
+        "<span> x </span><span>y</span> <span> z</span>",
+        # pre / textarea preservation (incl. nesting + inheritance)
+        "<pre>  keep\n\tthis  </pre><p>collapse  this</p>",
+        "<div><pre>a  b<span>c  d</span></pre></div>",
+        "<pre><code>line1\nline2</code></pre>tail",
+        "<textarea>  raw\ntext  </textarea>after",
+        "<table><tr><td><textarea>a  b</textarea><td>c  d</table>",
+        "<pre>outer<div>block  in  pre</div>tail</pre>",
+        # hidden subtrees
+        "<p>vis</p><div hidden>gone</div><p>vis2</p>",
+        "<div hidden=false>still hidden (boolean attr)</div>x",
+        "<div hidden=''>hidden empty</div>y",
+        "<div style='display:none'>dn</div><div style='DISPLAY: NONE'>dn2</div>z",
+        "<div style='display :none;color:red'>dn3</div>w",
+        "<div style='visibility:hidden'>vh</div><div style='visibility: hidden ;'>vh2</div>v",
+        "<div aria-hidden=true>ah</div><div aria-hidden=TRUE>ah2</div>u",
+        "<div aria-hidden=false>shown</div><div aria-hidden=1>shown2</div>t",
+        "<div aria-hidden>shown3</div><div aria-hidden=''>shown4</div>s",
+        "<p>a<span hidden>b<b>c</b></span>d</p>",
+        "<head><style>css</style><script>js</script><title>t</title></head><body>b",
+        "<template><p>templated</p></template>after-template",
+        # control values
+        "<img alt='pic one'><img alt=''><img>",
+        "<input value='typed'><input type=hidden value=h><input type=password value=p>",
+        "<input type=submit value=Go><input type=button>",
+        "<button>press <b>me</b></button>",
+        "<select><option>one</option><option selected>two</option></select>",
+        # accessible-name fallback
+        "<div aria-label='label-a'></div><div aria-label='label-b'>content wins</div>",
+        "<a href=x title='tip'></a><a href=y title='tip2'>text</a>",
+        "<img aria-label=al alt=alt-wins>",
+        # noscript
+        "<noscript><p>no js</p></noscript>after",
+        "<head><noscript><meta charset=x><p>head-noscript</p></noscript></head>body",
+        "<noscript><noscript>nested</noscript></noscript>t",
+        # tables: tabs between cells, newlines between rows, nesting
+        "<table><tr><td>a<td>b<tr><td>c<td>d</table>",
+        "<table><tr><th>h1<th>h2<tr><td>v1<td>v2</table>",
+        "<table><tr><td><table><tr><td>inner</table><td>outer2</table>",
+        "<table><caption>cap</caption><tr><td>c1</table>",
+        "<table><tr><td><p>para in cell</p><td>c2</table>",
+        "<table><tr></tr><tr><td></td><td>x</td></tr></table>",
+        # paragraph/block breaks + headings (outline)
+        "<h1>top</h1><p>p1</p><h2>mid</h2><p>p2</p><h3>deep</h3>",
+        "<h1>a<b>b</b></h1><div><h2>nested h</h2></div>",
+        "<article><h1>art</h1><section><h2>sec</h2><p>body</p></section></article>",
+        # chunking boundaries (big text)
+        "<div>" + "word " * 3000 + "</div>",
+        "".join(f"<p>para {i} {'x' * 200}</p>" for i in range(60)),
+        # entities + unicode
+        "<p>&amp; &lt;tag&gt; &nbsp;nb&nbsp;sp &#x2603;&#9731;</p>",
+        "<p>&not;in &notin; mid&amptext</p>",
+        "<p>a&#0;b</p>",
+        # misnesting interplay with extraction
+        "<p><b>one<i>two</b>three</i>four</p>",
+        "<table>foster<tr><td>cell</table>",
+        "<a>1<div>2<a>3</a></div></a>",
+        "<ul><li>i1<li>i2<ol><li>j1</ul>",
+        # rawtext / rcdata
+        "<title>ti<b>tle</title><p>after</p>",
+        "<style>p{}</style><xmp>literal <b>x</b></xmp>tail",
+        "<script>var x='<p>no</p>';</script>visible",
+        "<iframe><p>hidden-ish</p></iframe>shown",
+        "<plaintext>rest <b>of</b> file",
+        # svg / math text
+        "<svg><text>svg text</text><desc>desc text</desc></svg>tail",
+        "<math><mi>x</mi><mo>+</mo><mn>1</mn></math>t",
+        "<svg><foreignObject><p>html in svg</p></foreignObject></svg>",
+        # definition lists, blockquote, address
+        "<dl><dt>term<dd>def<dt>term2<dd>def2</dl>",
+        "<blockquote><p>quote</p></blockquote>after",
+        # empty and edge documents
+        # NB: the empty document "" is excluded — it base64s to a blank
+        # line both dumps skip; empty-input behavior is unit-tested instead.
+        " ", "\n\t ", "<p></p>", "<div><span></span></div>",
+        "just text no tags",
+        "<body hidden>whole body hidden</body>",
+        # br/hr soup
+        "<br><br><br>", "a<hr>b", "<p>a</p><br><p>b</p>",
+        # deeply nested inline
+        "<b><i><u><s><em><strong>deep</strong></em></s></u></i></b>",
+    ]
+    # EOF truncation sweep over the first, hand-written half
+    base = list(cases)
+    for tpl in base:
+        if len(tpl) > 8:
+            cases.append(tpl[: len(tpl) * 2 // 3])
+
+    # structured fuzz: random nesting over extraction-relevant vocabulary
+    seed0 = int(os.environ.get("EXTRACT_DIFF_SEED", "0xE17AC7"), 16)
+    rng = random.Random(seed0)
+    tags = ["div", "p", "span", "b", "i", "a", "ul", "li", "h1", "h2", "h3",
+            "table", "tr", "td", "th", "tbody", "caption", "pre", "code",
+            "textarea", "button", "select", "option", "noscript", "template",
+            "blockquote", "article", "section", "em", "strong", "ruby", "rt",
+            "dl", "dt", "dd", "title", "style", "script", "svg", "math",
+            "mi", "mtext", "desc", "iframe", "xmp", "form", "label"]
+    attrs = [" hidden", " hidden=hidden", " hidden=false", " aria-hidden=true",
+             " aria-hidden=false", " aria-hidden=''", " aria-hidden=TRUE",
+             " style=display:none", " style='display: none'",
+             " style='visibility:hidden'", " style=color:red",
+             " aria-label=lbl", " title=tip", " class=c", " id=i", ""]
+    voids = ["<br>", "<hr>", "<img alt='va'>", "<img alt=''>", "<img>",
+             "<input value=iv>", "<input type=hidden value=hv>",
+             "<input type=checkbox>", "<wbr>"]
+    texts = ["alpha", "beta  gamma", " lead", "trail ", "a\tb", "x\ny",
+             "&amp;", "&nbsp;", "&#x41;", "&notin;", "mixed &lt;case&gt;",
+             "  ", "\t\n", "words words words"]
+    def rand_case():
+        parts = []
+        opens = []
+        for _ in range(rng.randint(8, 34)):
+            r = rng.random()
+            if r < 0.34:
+                t = rng.choice(tags)
+                parts.append(f"<{t}{rng.choice(attrs)}>")
+                opens.append(t)
+            elif r < 0.52 and opens:
+                parts.append(f"</{opens.pop(rng.randrange(len(opens)))}>")
+            elif r < 0.60:
+                parts.append(f"</{rng.choice(tags)}>")
+            elif r < 0.72:
+                parts.append(rng.choice(voids))
+            else:
+                parts.append(rng.choice(texts))
+        return "".join(parts)
+    for _ in range(int(os.environ.get("EXTRACT_DIFF_FUZZ", "4000"))):
+        cases.append(rand_case())
+    return cases
+
+
+FIELDS = ["vt_default", "vt_keep_hidden", "vt_no_controls", "vt_accname",
+          "vt_no_trim", "tokens", "prov", "text_content", "outline", "chunks"]
+
+
+def main():
+    inputs = corpus()
+    print(f"{len(inputs)} corpus cases")
+    payload = "\n".join(
+        base64.b64encode(c.encode()).decode() for c in inputs) + "\n"
+
+    with tempfile.NamedTemporaryFile("w", suffix=".b64", delete=False) as f:
+        f.write(payload)
+        path = f.name
+
+    ref = subprocess.run(
+        ["node", "scripts/conformance/ref_extract_dump.mjs"],
+        input=payload, capture_output=True, text=True, check=True).stdout
+    ours = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.ExtractDiffDump {path}"],
+        capture_output=True, text=True, check=True).stdout
+    our_lines = [l.replace("[info] ", "").strip() for l in ours.splitlines()
+                 if l.startswith("[info] ") and
+                 all(ch.isalnum() or ch in "+/=" for ch in l.replace("[info] ", "").strip())
+                 and len(l.replace("[info] ", "").strip()) > 0]
+    ref_lines = [l.strip() for l in ref.splitlines() if l.strip()]
+    our_lines = our_lines[-len(inputs):]
+    assert len(ref_lines) == len(inputs), (len(ref_lines), len(inputs))
+    assert len(our_lines) == len(inputs), (len(our_lines), len(inputs))
+
+    mismatches = 0
+    for i, (r, o) in enumerate(zip(ref_lines, our_lines)):
+        rj = json.loads(base64.b64decode(r).decode())
+        oj = json.loads(base64.b64decode(o).decode())
+        if rj == oj:
+            continue
+        mismatches += 1
+        if mismatches <= 40:
+            print(f"--- MISMATCH case {i}: {inputs[i][:300]!r}")
+            for k in FIELDS + ["error"]:
+                rv, ov = rj.get(k), oj.get(k)
+                if rv != ov:
+                    print(f"  field {k}:")
+                    print(f"    ref:  {json.dumps(rv)[:500]}")
+                    print(f"    ours: {json.dumps(ov)[:500]}")
+    print(f"{mismatches} mismatches / {len(inputs)} cases")
+    os.unlink(path)
+    sys.exit(1 if mismatches else 0)
+
+
+if __name__ == "__main__":
+    main()
+
+

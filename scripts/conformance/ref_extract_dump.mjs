@@ -1,0 +1,51 @@
+// Differential-oracle helper for the EXTRACTION layer: run the reference's
+// REAL public API (type-stripped by ts_strip.py into /tmp/refjs — see that
+// script's header) and dump, per input document, a canonical JSON record of
+// every extraction surface: visibleText under each option toggle,
+// visibleTextTokens, visibleTextTokensWithProvenance, textContent, outline
+// and chunk. This covers the layer the parse5-only tree oracle cannot reach
+// (reference: src/public/mod.ts:1035-1500 extraction + :1616-1782 traversal).
+//
+// stdin:  one base64(html) per line
+// stdout: one base64(JSON record) per line
+import { createInterface } from 'node:readline';
+
+const REFJS = process.env.REFJS ?? '/tmp/refjs';
+const m = await import(`${REFJS}/public/mod.js`);
+
+function record(html) {
+  const tree = m.parse(html);
+  const rec = {
+    vt_default: m.visibleText(tree),
+    vt_keep_hidden: m.visibleText(tree, { skipHiddenSubtrees: false }),
+    vt_no_controls: m.visibleText(tree, { includeControlValues: false }),
+    vt_accname: m.visibleText(tree, { includeAccessibleNameFallback: true }),
+    vt_no_trim: m.visibleText(tree, { trim: false }),
+    tokens: m.visibleTextTokens(tree).map((t) => [t.kind, t.value]),
+    prov: m.visibleTextTokensWithProvenance(tree).map((t) => [
+      t.kind, t.value, t.sourceNodeId, t.sourceNodeKind, t.sourceRole,
+    ]),
+    text_content: m.textContent(tree),
+    outline: m.outline(tree).entries.map((e) => [
+      e.nodeId, e.depth, e.tagName, e.text,
+    ]),
+    chunks: m.chunk(tree).map((c) => [c.index, c.nodeId, c.nodes, c.content]),
+  };
+  return rec;
+}
+
+const rl = createInterface({ input: process.stdin, crlfDelay: Infinity });
+const out = [];
+for await (const line of rl) {
+  const b64 = line.trim();
+  if (!b64) continue;
+  const html = Buffer.from(b64, 'base64').toString('utf8');
+  let rec;
+  try {
+    rec = record(html);
+  } catch (e) {
+    rec = { error: String(e && e.constructor ? e.constructor.name : e) };
+  }
+  out.push(Buffer.from(JSON.stringify(rec), 'utf8').toString('base64'));
+}
+process.stdout.write(out.join('\n') + '\n');

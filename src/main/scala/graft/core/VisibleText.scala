@@ -137,6 +137,20 @@ object VisibleText {
     nonEmptyAttr(node, "aria-label")
   }
 
+  /** The ECMAScript WhiteSpace+LineTerminator set — what JS `String.trim()`
+    * and regex `\s` match (reference mod.ts:1138 `output.trim()` and :1484
+    * `/\s/.test(...)`). Differs from `Character.isWhitespace` both ways:
+    * JS includes the no-break spaces U+00A0/U+202F and U+FEFF, Java includes
+    * the separator controls U+001C-U+001F. Found by the extraction
+    * differential oracle (`&nbsp;` at output edges must trim away).
+    */
+  private[graft] def isJsWhitespace(c: Char): Boolean = c match {
+    case '\t' | '\n' | '\u000B' | '\f' | '\r' | ' ' | '\u00A0' | '\u1680' |
+        '\u2028' | '\u2029' | '\u202F' | '\u205F' | '\u3000' | '\uFEFF' => true
+    case _ => c >= '\u2000' && c <= '\u200A'
+  }
+
+
   /** Global output normalization (reference: mod.ts:1130-1141).
     *
     * Semantics are the reference's five sequential regex passes
@@ -185,7 +199,13 @@ object VisibleText {
       }
     }
     val output = sb.toString
-    if (trim) output.trim else output
+    if (!trim) return output
+    // JS String.trim() semantics, not Java's (see isJsWhitespace)
+    var start = 0
+    var end = output.length
+    while (start < end && isJsWhitespace(output.charAt(start))) start += 1
+    while (end > start && isJsWhitespace(output.charAt(end - 1))) end -= 1
+    if (start == 0 && end == output.length) output else output.substring(start, end)
   }
 
   private final class Collector(options: VisibleTextOptions, withChunks: Boolean) {
@@ -474,8 +494,9 @@ object VisibleText {
     var start = 0
     var end = w2
     if (trim) {
-      while (start < end && Character.isWhitespace(c1(start))) start += 1
-      while (end > start && Character.isWhitespace(c1(end - 1))) end -= 1
+      // reference mod.ts:1484-1489 trims with /\s/ (JS class, incl. NBSP)
+      while (start < end && isJsWhitespace(c1(start))) start += 1
+      while (end > start && isJsWhitespace(c1(end - 1))) end -= 1
     }
     new CharStream(c1, m1, start, end)
   }

@@ -1,0 +1,124 @@
+package graft.tools
+
+import java.util.Base64
+
+import graft.core._
+
+/** Differential-oracle helper (Scala side of
+  * scripts/conformance/ref_extract_dump.mjs): read one base64(html) per line
+  * from the file in args(0), print one base64(JSON record) per line, where
+  * the record carries every public extraction surface (visibleText under
+  * each option toggle, tokens, provenance tokens, textContent, outline,
+  * chunk) in the exact field layout the node-side dump emits. The diff
+  * driver parses both JSONs and compares structurally, so formatting
+  * differences are irrelevant — only values count.
+  *
+  * Reference behavior: src/public/mod.ts:1035-1500 (extraction) and
+  * :1616-1782 (traversal); the node side runs that file directly (type-
+  * stripped), so this is a true second-opinion oracle for the layer the
+  * parse5-only tree diff cannot reach.
+  */
+object ExtractDiffDump {
+
+  private def esc(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ =>
+          if (c < 0x20 || (c >= 0xD800 && c <= 0xDFFF)) sb.append(f"\\u$c%04x")
+          else sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  private def arr(sb: java.lang.StringBuilder, parts: Seq[java.lang.StringBuilder => Unit]): Unit = {
+    sb.append('[')
+    var first = true
+    parts.foreach { p =>
+      if (!first) sb.append(',')
+      first = false
+      p(sb)
+    }
+    sb.append(']')
+  }
+
+  private def record(html: String): String = {
+    val tree = HtmlParser.parse(html)
+    val sb = new java.lang.StringBuilder(html.length * 2 + 256)
+    sb.append('{')
+    def field(name: String)(body: => Unit): Unit = {
+      if (sb.charAt(sb.length - 1) != '{') sb.append(',')
+      esc(sb, name); sb.append(':'); body
+    }
+    field("vt_default")(esc(sb, VisibleText.ofDocument(tree)))
+    field("vt_keep_hidden")(esc(sb,
+      VisibleText.ofDocument(tree, VisibleTextOptions(skipHiddenSubtrees = false))))
+    field("vt_no_controls")(esc(sb,
+      VisibleText.ofDocument(tree, VisibleTextOptions(includeControlValues = false))))
+    field("vt_accname")(esc(sb,
+      VisibleText.ofDocument(tree, VisibleTextOptions(includeAccessibleNameFallback = true))))
+    field("vt_no_trim")(esc(sb, VisibleText.ofDocument(tree, VisibleTextOptions(trim = false))))
+    field("tokens")(arr(sb, VisibleText.tokensOfDocument(tree).map { t => (b: java.lang.StringBuilder) =>
+      arr(b, Seq(x => esc(x, t.kind), x => esc(x, t.value)))
+    }))
+    field("prov")(arr(sb, VisibleText.tokensWithProvenance(tree.children).map { t => (b: java.lang.StringBuilder) =>
+      arr(b, Seq[java.lang.StringBuilder => Unit](
+        x => esc(x, t.kind),
+        x => esc(x, t.value),
+        x => t.sourceNodeId match {
+          case Some(id) => x.append(id); ()
+          case None => x.append("null"); ()
+        },
+        x => esc(x, t.sourceNodeKind),
+        x => esc(x, t.sourceRole)
+      ))
+    }))
+    field("text_content")(esc(sb, Traversal.textContent(tree.children)))
+    field("outline")(arr(sb, Traversal.outline(tree.children).entries.map { e => (b: java.lang.StringBuilder) =>
+      arr(b, Seq[java.lang.StringBuilder => Unit](
+        x => { x.append(e.nodeId); () },
+        x => { x.append(e.depth); () },
+        x => esc(x, e.tagName),
+        x => esc(x, e.text)
+      ))
+    }))
+    field("chunks")(arr(sb, Traversal.chunk(tree.children).map { c => (b: java.lang.StringBuilder) =>
+      arr(b, Seq[java.lang.StringBuilder => Unit](
+        x => { x.append(c.index); () },
+        x => { x.append(c.nodeId); () },
+        x => { x.append(c.nodes); () },
+        x => esc(x, c.content)
+      ))
+    }))
+    sb.append('}')
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = new java.lang.StringBuilder
+    scala.io.Source.fromFile(args(0), "UTF-8").getLines().foreach { line =>
+      if (line.nonEmpty) {
+        val html = new String(Base64.getDecoder.decode(line), "UTF-8")
+        val json =
+          try record(html)
+          catch {
+            case e: Throwable =>
+              val s = new java.lang.StringBuilder("{\"error\":")
+              esc(s, e.getClass.getSimpleName)
+              s.append('}').toString
+          }
+        out.append(Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))).append('\n')
+      }
+    }
+    print(out)
+  }
+}

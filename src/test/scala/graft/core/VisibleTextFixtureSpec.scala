@@ -72,6 +72,33 @@ class VisibleTextFixtureSpec extends AnyFunSuite {
     }
   }
 
+  // Regression (found by scripts/conformance/extract_diff.py): the output
+  // edge-trim follows JS String.trim() / regex \s — which includes NBSP,
+  // NNBSP, FEFF and the Zs block — not Java's Character.isWhitespace.
+  // Reference: mod.ts:1138 (output.trim()) and :1484 (/\s/ char trim).
+  test("edge trim uses the ECMAScript whitespace class (NBSP trims away)") {
+    val tree = HtmlParser.parse("<p>&nbsp;trail <img alt=va>&#x2209;&nbsp;</p>")
+    assert(VisibleText.ofDocument(tree) == "trail va∉")
+    // interior NBSP is content, edge NBSP is not
+    val tree2 = HtmlParser.parse("<p>&nbsp;a&nbsp;b&nbsp;</p>")
+    assert(VisibleText.ofDocument(tree2) == "a b")
+    assert(VisibleText.ofDocument(tree2, VisibleTextOptions(trim = false))
+      .contains(" a b "))
+    // a document whose only visible text is NBSP trims to nothing, and the
+    // provenance pipeline agrees (its trim is a separate code path)
+    val tree3 = HtmlParser.parse("<p>&nbsp;</p>")
+    assert(VisibleText.ofDocument(tree3) == "")
+    assert(VisibleText.tokensOfDocument(tree3).isEmpty)
+    assert(VisibleText.tokensWithProvenance(tree3.children).isEmpty)
+    val prov = VisibleText.tokensWithProvenance(tree.children)
+    assert(prov.map(_.value).mkString == "trail va∉")
+    // U+2028/U+202F/U+FEFF edges trim; U+001C (Java-ws, not JS-ws) stays
+    assert(VisibleText.ofDocument(
+      HtmlParser.parse("<p>&#x2028;x&#x202f;&#xfeff;</p>")) == "x")
+    assert(VisibleText.ofDocument(
+      HtmlParser.parse("<p>&#x1c;x&#x1c;</p>")) == "\u001cx\u001c")
+  }
+
   for (caseDir <- cases(fallbackCorpus)) {
     val name = caseDir.getFileName.toString
     test(s"visible-text-fallback $name: default vs fallback") {
