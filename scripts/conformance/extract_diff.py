@@ -158,6 +158,139 @@ def corpus():
         return "".join(parts)
     for _ in range(int(os.environ.get("EXTRACT_DIFF_FUZZ", "4000"))):
         cases.append(rand_case())
+
+    profile = os.environ.get("EXTRACT_DIFF_PROFILE", "")
+
+    # EXTRACT_DIFF_PROFILE=unicode: exotic whitespace and format characters
+    # woven through text, entities, pre blocks and element edges — hunts
+    # divergences in the normalization passes' character classes (segment
+    # collapse, output collapse, JS-trim) and in provenance merging.
+    if profile == "unicode":
+        rng = random.Random(seed0 ^ 0x00A0FEFF)
+        ws = ["\u00a0", "\u1680", "\u2000", "\u2003", "\u2009", "\u200a",
+              "\u2028", "\u2029", "\u202f", "\u205f", "\u3000", "\ufeff",
+              "\u200b", "\u200e", "\u2060", "\x0b", "\x1c", "\x1f", "\x7f",
+              "&nbsp;", "&#x2028;", "&#xfeff;", "&#x200b;", "&NonBreakingSpace;",
+              "&ThinSpace;", "&ZeroWidthSpace;", "&#x3000;"]
+        words = ["aleph", "bet", "été", "你好", "x"]
+        wraps = ["p", "div", "span", "b", "pre", "textarea", "td", "li", "h2"]
+        def unicode_case():
+            parts = []
+            for _ in range(rng.randint(4, 18)):
+                r = rng.random()
+                if r < 0.45:
+                    parts.append(rng.choice(ws))
+                elif r < 0.7:
+                    parts.append(rng.choice(words))
+                else:
+                    t = rng.choice(wraps)
+                    inner = "".join(rng.choice(ws + words)
+                                    for _ in range(rng.randint(1, 5)))
+                    parts.append(f"<{t}>{inner}</{t}>")
+            return "".join(parts)
+        for _ in range(3000):
+            cases.append(unicode_case())
+
+    # EXTRACT_DIFF_PROFILE=hidden: adversarial hidden/aria-hidden/style
+    # values — whitespace-padded and cased truthiness strings, style
+    # declarations with comments/spacing/uppercase, nested visibility flips.
+    if profile == "hidden":
+        rng = random.Random(seed0 ^ 0x41D0E5)
+        hid = [" hidden", " hidden=''", " hidden=false", " hidden=FALSE",
+               " hidden=no", " hidden=0", " hidden=' '", " hidden=until-found",
+               " aria-hidden=true", " aria-hidden=' true '", " aria-hidden=TRUE",
+               " aria-hidden=1", " aria-hidden='1 '", " aria-hidden=yes",
+               " aria-hidden=0", " aria-hidden=false", " aria-hidden=''",
+               " aria-hidden='\ttrue\n'", " aria-hidden",
+               " style=display:none", " style='display:none;'",
+               " style='display : none'", " style='DISPLAY:NONE'",
+               " style='display:\tnone'", " style='color:red;display:none'",
+               " style='display:inline'", " style='visibility:hidden'",
+               " style='visibility: hidden'", " style='visibility:visible'",
+               " style='content-visibility:hidden'",
+               " style='content-visibility: hidden ;'",
+               " style='--display:none'", " style='xdisplay:none'",
+               " style", " style=''", ""]
+        tags2 = ["div", "span", "p", "b", "li", "td", "section", "em"]
+        def hidden_case():
+            parts = []
+            depth = 0
+            for _ in range(rng.randint(6, 24)):
+                r = rng.random()
+                if r < 0.45:
+                    t = rng.choice(tags2)
+                    parts.append(f"<{t}{rng.choice(hid)}>")
+                    depth += 1
+                elif r < 0.65 and depth > 0:
+                    parts.append(f"</{rng.choice(tags2)}>")
+                    depth -= 1
+                else:
+                    parts.append(rng.choice(["vis", "ible", " text ", "&amp;"]))
+            return "".join(parts)
+        for _ in range(3000):
+            cases.append(hidden_case())
+
+    # EXTRACT_DIFF_PROFILE=controls: img/input/button/select permutations —
+    # alt/value/aria-label/title present, empty, whitespace-only; input
+    # types cased and padded; accname fallback interplay.
+    if profile == "controls":
+        rng = random.Random(seed0 ^ 0xC0117301)
+        ctl = []
+        for alt in ["alt=pic", "alt=''", "alt='  '", "ALT=up", "alt='a  b'", ""]:
+            for extra in ["", " aria-label=al", " title=ti"]:
+                ctl.append(f"<img {alt}{extra}>")
+        for ty in ["", "type=text", "type=hidden", "type=HIDDEN", "type=' hidden'",
+                   "type=submit", "type=SUBMIT", "type=button", "type=reset",
+                   "type=checkbox", "type=password", "type=unknown"]:
+            for v in ["", "value=v", "value=''", "value='  '", "value='a b'"]:
+                for extra in ["", " aria-label=lbl", " aria-label=''",
+                              " aria-label='  '", " title=tip"]:
+                    ctl.append(f"<input {ty} {v}{extra}>")
+        ctl += ["<button>press</button>", "<button value=bv></button>",
+                "<button><img alt=inner></button>", "<button>  </button>",
+                "<select><option>o1<option value=x>o2</select>",
+                "<select multiple><option selected>s</select>",
+                "<textarea>ta  content</textarea>", "<textarea></textarea>",
+                "<a title=only-title></a>", "<a title=''>t</a>",
+                "<a aria-label=only-label></a>", "<label for=x></label>"]
+        def controls_case():
+            parts = []
+            for _ in range(rng.randint(3, 12)):
+                r = rng.random()
+                if r < 0.6:
+                    parts.append(rng.choice(ctl))
+                else:
+                    parts.append(rng.choice(["t1 ", " t2", "<p>para</p>",
+                                             "<div>block</div>", "&nbsp;"]))
+            return "".join(parts)
+        for _ in range(3000):
+            cases.append(controls_case())
+
+    # EXTRACT_DIFF_PROFILE=prewrap: whitespace-preservation flow — pre /
+    # textarea nesting with blocks, tables and breaks inside, CRLF/FF/tab
+    # soup, leading-newline-after-<pre> handling, xmp/listing/plaintext.
+    if profile == "prewrap":
+        rng = random.Random(seed0 ^ 0x9E3EA7)
+        openers = ["<pre>", "<pre>\n", "<pre>\r\n", "<textarea>", "<textarea>\n",
+                   "<listing>", "<xmp>", "<pre><code>", "<td><pre>"]
+        fillers = ["  a  b  ", "\t\t", "\n\n\n", "x\r\ny", "\f\f", "   ",
+                   "line1\nline2", "&#9;tab-ent", "&#10;nl-ent", "w",
+                   "<div>block-in-pre</div>", "<br>", "<span>  s  </span>",
+                   "<table><tr><td>t1<td>t2</table>", "<p>p-in-pre</p>"]
+        closers = ["</pre>", "</textarea>", "</listing>", "</xmp>",
+                   "</code></pre>", "</pre></td>", ""]
+        def prewrap_case():
+            parts = []
+            for _ in range(rng.randint(2, 8)):
+                parts.append(rng.choice(openers))
+                for _ in range(rng.randint(1, 5)):
+                    parts.append(rng.choice(fillers))
+                parts.append(rng.choice(closers))
+                parts.append(rng.choice(["tail  sp", " ", "<p>between</p>", ""]))
+            return "".join(parts)
+        for _ in range(3000):
+            cases.append(prewrap_case())
+
     return cases
 
 
