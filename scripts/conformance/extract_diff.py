@@ -202,6 +202,9 @@ def corpus():
                " aria-hidden=1", " aria-hidden='1 '", " aria-hidden=yes",
                " aria-hidden=0", " aria-hidden=false", " aria-hidden=''",
                " aria-hidden='\ttrue\n'", " aria-hidden",
+               " aria-hidden='\u00a0true\u00a0'", " aria-hidden='\u00a01\u00a0'",
+               " aria-hidden='\u2028true'", " aria-hidden='\ufefffalse'",
+               " hidden='\u00a0'",
                " style=display:none", " style='display:none;'",
                " style='display : none'", " style='DISPLAY:NONE'",
                " style='display:\tnone'", " style='color:red;display:none'",
@@ -210,6 +213,8 @@ def corpus():
                " style='content-visibility:hidden'",
                " style='content-visibility: hidden ;'",
                " style='--display:none'", " style='xdisplay:none'",
+               " style='display:\u00a0none'", " style='\u2028display:none'",
+               " style='visibility:\u00a0\u00a0hidden'",
                " style", " style=''", ""]
         tags2 = ["div", "span", "p", "b", "li", "td", "section", "em"]
         def hidden_case():
@@ -240,11 +245,13 @@ def corpus():
             for extra in ["", " aria-label=al", " title=ti"]:
                 ctl.append(f"<img {alt}{extra}>")
         for ty in ["", "type=text", "type=hidden", "type=HIDDEN", "type=' hidden'",
+                   "type='\u00a0hidden'", "type='hidden\u00a0'",
                    "type=submit", "type=SUBMIT", "type=button", "type=reset",
                    "type=checkbox", "type=password", "type=unknown"]:
             for v in ["", "value=v", "value=''", "value='  '", "value='a b'"]:
                 for extra in ["", " aria-label=lbl", " aria-label=''",
-                              " aria-label='  '", " title=tip"]:
+                              " aria-label='  '", " aria-label='\u00a0'",
+                              " aria-label='\u00a0lbl\u00a0'", " title=tip"]:
                     ctl.append(f"<input {ty} {v}{extra}>")
         ctl += ["<button>press</button>", "<button value=bv></button>",
                 "<button><img alt=inner></button>", "<button>  </button>",
@@ -295,7 +302,8 @@ def corpus():
 
 
 FIELDS = ["vt_default", "vt_keep_hidden", "vt_no_controls", "vt_accname",
-          "vt_no_trim", "tokens", "prov", "text_content", "outline", "chunks"]
+          "vt_no_trim", "tokens", "prov", "text_content", "outline", "chunks",
+          "chunks_small", "serialize", "frags"]
 
 
 def main():

@@ -30,6 +30,21 @@ function record(html) {
       e.nodeId, e.depth, e.tagName, e.text,
     ]),
     chunks: m.chunk(tree).map((c) => [c.index, c.nodeId, c.nodes, c.content]),
+    // small budgets stress the flush boundaries incl. the UTF-8 byte budget
+    chunks_small: m
+      .chunk(tree, { maxChars: 48, maxNodes: 5, maxBytes: 200 })
+      .map((c) => [c.index, c.nodeId, c.nodes, c.content]),
+    serialize: m.serialize(tree),
+    // fragment-context extraction: the fragment parser feeds the same
+    // extraction pipeline but with fabricated contexts
+    frags: ['div', 'td', 'p'].map((ctx) => {
+      const ft = m.parseFragment(html, ctx);
+      return [
+        m.visibleText(ft),
+        m.visibleTextTokens(ft).map((t) => [t.kind, t.value]),
+        m.serialize(ft),
+      ];
+    }),
   };
   return rec;
 }

@@ -123,7 +123,8 @@ object HtmlParser {
   ): FragmentTree = {
     val startedAt = System.currentTimeMillis()
     val budgets = options.budgets
-    val normalizedContext = contextTagName.trim.toLowerCase
+    // JS trim (mod.ts:647) — an NBSP-padded context name still normalizes
+    val normalizedContext = VisibleText.jsTrim(contextTagName).toLowerCase
     require(normalizedContext.nonEmpty, "contextTagName must be a non-empty tag name")
     enforceInt("maxInputBytes", budgets.flatMap(_.maxInputBytes), html.length.toLong)
     val trace = if (options.trace) new TraceState(html, budgets) else null

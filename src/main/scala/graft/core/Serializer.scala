@@ -156,7 +156,7 @@ object Serializer {
 
   def normalizedParseFragment(html: String, context: String, scriptingEnabled: Boolean = true): String = {
     val builder = new TreeBuilder(html, scriptingEnabled, false, (_, _, _) => ())
-    val root = builder.parseFragment(context.trim.toLowerCase)
+    val root = builder.parseFragment(VisibleText.jsTrim(context).toLowerCase)
     if (builder.sawSelect) CompatPatch.patchSelectAdoption(builder.document)
     normalizeTree(root)
   }

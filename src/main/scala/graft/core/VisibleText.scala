@@ -97,9 +97,21 @@ object VisibleText {
     if (preserveWhitespace) normalized else collapseAsciiWhitespace(normalized)
   }
 
+  /** JS `String.prototype.trim()` — the ECMAScript whitespace class, which
+    * the reference applies to attribute values (mod.ts:1062,1108,1123) and
+    * fragment contexts (mod.ts:647). See [[isJsWhitespace]].
+    */
+  private[graft] def jsTrim(s: String): String = {
+    var start = 0
+    var end = s.length
+    while (start < end && isJsWhitespace(s.charAt(start))) start += 1
+    while (end > start && isJsWhitespace(s.charAt(end - 1))) end -= 1
+    if (start == 0 && end == s.length) s else s.substring(start, end)
+  }
+
   private def normalizeBooleanAttribute(value: Option[String]): Boolean =
     value.exists { v =>
-      val normalized = v.trim.toLowerCase
+      val normalized = jsTrim(v).toLowerCase
       normalized.isEmpty || normalized == "true" || normalized == "1"
     }
 
@@ -108,13 +120,13 @@ object VisibleText {
     if (node.attr("hidden").isDefined) return true
     node.attr("style") match {
       case Some(style) if style.nonEmpty =>
-        // lowercase + strip \s (same class as the reference's /\s+/ regex)
+        // lowercase + strip the JS \s class (the reference's /\s+/g at
+        // mod.ts:1087 matches NBSP/Zs/FEFF too, not just ASCII whitespace)
         val sb = new java.lang.StringBuilder(style.length)
         var i = 0
         while (i < style.length) {
           val c = style.charAt(i)
-          if (!(c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'))
-            sb.append(Character.toLowerCase(c))
+          if (!isJsWhitespace(c)) sb.append(Character.toLowerCase(c))
           i += 1
         }
         val normalized = sb.toString
@@ -127,12 +139,12 @@ object VisibleText {
   }
 
   private def nonEmptyAttr(node: ElementNode, name: String): Option[String] =
-    node.attr(name).map(_.trim).filter(_.nonEmpty)
+    node.attr(name).map(jsTrim).filter(_.nonEmpty)
 
   private def accessibleNameFallback(node: ElementNode, options: VisibleTextOptions): Option[String] = {
     if (!options.includeAccessibleNameFallback) return None
     if (node.tagName.toLowerCase != "input") return None
-    val ty = node.attr("type").getOrElse("text").trim.toLowerCase
+    val ty = jsTrim(node.attr("type").getOrElse("text")).toLowerCase
     if (ty == "hidden") return None
     nonEmptyAttr(node, "aria-label")
   }

@@ -91,12 +91,27 @@ object ExtractDiffDump {
         x => esc(x, e.text)
       ))
     }))
-    field("chunks")(arr(sb, Traversal.chunk(tree.children).map { c => (b: java.lang.StringBuilder) =>
+    def chunkArr(chunks: Vector[Chunk]): Unit =
+      arr(sb, chunks.map { c => (b: java.lang.StringBuilder) =>
+        arr(b, Seq[java.lang.StringBuilder => Unit](
+          x => { x.append(c.index); () },
+          x => { x.append(c.nodeId); () },
+          x => { x.append(c.nodes); () },
+          x => esc(x, c.content)
+        ))
+      })
+    field("chunks")(chunkArr(Traversal.chunk(tree.children)))
+    field("chunks_small")(chunkArr(Traversal.chunk(tree.children,
+      ChunkOptions(maxChars = 48, maxNodes = 5, maxBytes = 200L))))
+    field("serialize")(esc(sb, Serializer.serialize(tree)))
+    field("frags")(arr(sb, Seq("div", "td", "p").map { ctx => (b: java.lang.StringBuilder) =>
+      val ft = HtmlParser.parseFragment(html, ctx)
       arr(b, Seq[java.lang.StringBuilder => Unit](
-        x => { x.append(c.index); () },
-        x => { x.append(c.nodeId); () },
-        x => { x.append(c.nodes); () },
-        x => esc(x, c.content)
+        x => esc(x, VisibleText.ofFragment(ft)),
+        x => arr(x, VisibleText.tokensOfFragment(ft).map { t => (y: java.lang.StringBuilder) =>
+          arr(y, Seq(z => esc(z, t.kind), z => esc(z, t.value)))
+        }),
+        x => esc(x, Serializer.serialize(ft))
       ))
     }))
     sb.append('}')

@@ -81,9 +81,9 @@ class VisibleTextFixtureSpec extends AnyFunSuite {
     assert(VisibleText.ofDocument(tree) == "trail va∉")
     // interior NBSP is content, edge NBSP is not
     val tree2 = HtmlParser.parse("<p>&nbsp;a&nbsp;b&nbsp;</p>")
-    assert(VisibleText.ofDocument(tree2) == "a b")
+    assert(VisibleText.ofDocument(tree2) == "a\u00a0b")
     assert(VisibleText.ofDocument(tree2, VisibleTextOptions(trim = false))
-      .contains(" a b "))
+      .contains("\u00a0a\u00a0b\u00a0"))
     // a document whose only visible text is NBSP trims to nothing, and the
     // provenance pipeline agrees (its trim is a separate code path)
     val tree3 = HtmlParser.parse("<p>&nbsp;</p>")
@@ -97,6 +97,30 @@ class VisibleTextFixtureSpec extends AnyFunSuite {
       HtmlParser.parse("<p>&#x2028;x&#x202f;&#xfeff;</p>")) == "x")
     assert(VisibleText.ofDocument(
       HtmlParser.parse("<p>&#x1c;x&#x1c;</p>")) == "\u001cx\u001c")
+  }
+
+  // Regression (extract_diff hypothesis confirmed against the reference):
+  // attribute-value trims are also JS-class — aria-hidden truthiness
+  // (mod.ts:1062), aria-label nonemptiness (:1108), input type (:1123) —
+  // and the style normalization strips /\s+/ which matches NBSP (:1087).
+  test("attribute-value trims and style stripping use the JS whitespace class") {
+    // NBSP-padded aria-hidden="true" hides the subtree
+    assert(VisibleText.ofDocument(
+      HtmlParser.parse("<div aria-hidden='\u00a0true\u00a0'>gone</div>x")) == "x")
+    // NBSP inside a style declaration still matches display:none
+    assert(VisibleText.ofDocument(
+      HtmlParser.parse("<div style='display:\u00a0none'>gone</div>y")) == "y")
+    // NBSP-padded type='hidden' suppresses the accname fallback
+    assert(VisibleText.ofDocument(
+      HtmlParser.parse("<input type='\u00a0hidden' aria-label=al>z"),
+      VisibleTextOptions(includeAccessibleNameFallback = true)) == "z")
+    // whitespace-only aria-label is not a name; padded one is trimmed
+    assert(VisibleText.ofDocument(
+      HtmlParser.parse("<input aria-label='\u00a0'>q"),
+      VisibleTextOptions(includeAccessibleNameFallback = true)) == "q")
+    assert(VisibleText.ofDocument(
+      HtmlParser.parse("<input aria-label='\u00a0lbl\u00a0'>r"),
+      VisibleTextOptions(includeAccessibleNameFallback = true)) == "lblr")
   }
 
   for (caseDir <- cases(fallbackCorpus)) {
