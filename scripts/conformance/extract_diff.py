@@ -303,7 +303,7 @@ def corpus():
 
 FIELDS = ["vt_default", "vt_keep_hidden", "vt_no_controls", "vt_accname",
           "vt_no_trim", "tokens", "prov", "text_content", "outline", "chunks",
-          "chunks_small", "serialize", "frags"]
+          "chunks_small", "serialize", "frags", "spans", "errors"]
 
 
 def main():
@@ -331,13 +331,21 @@ def main():
     assert len(ref_lines) == len(inputs), (len(ref_lines), len(inputs))
     assert len(our_lines) == len(inputs), (len(our_lines), len(inputs))
 
+    only = [f for f in os.environ.get("EXTRACT_DIFF_ONLY", "").split(",") if f]
     mismatches = 0
+    by_field = {}
     for i, (r, o) in enumerate(zip(ref_lines, our_lines)):
         rj = json.loads(base64.b64decode(r).decode())
         oj = json.loads(base64.b64decode(o).decode())
+        if only:
+            rj = {k: rj.get(k) for k in only}
+            oj = {k: oj.get(k) for k in only}
         if rj == oj:
             continue
         mismatches += 1
+        for k in FIELDS + ["error"]:
+            if rj.get(k) != oj.get(k):
+                by_field[k] = by_field.get(k, 0) + 1
         if mismatches <= 40:
             print(f"--- MISMATCH case {i}: {inputs[i][:300]!r}")
             for k in FIELDS + ["error"]:
@@ -347,6 +355,8 @@ def main():
                     print(f"    ref:  {json.dumps(rv)[:500]}")
                     print(f"    ours: {json.dumps(ov)[:500]}")
     print(f"{mismatches} mismatches / {len(inputs)} cases")
+    if by_field:
+        print("per-field:", json.dumps(by_field, sort_keys=True))
     os.unlink(path)
     sys.exit(1 if mismatches else 0)
 

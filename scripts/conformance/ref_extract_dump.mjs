@@ -46,6 +46,28 @@ function record(html) {
       ];
     }),
   };
+  // spans + parse-error parity: re-parse with captureSpans and dump every
+  // node's (id, kind, tagName, spanProvenance, span) plus attribute spans,
+  // and the error list (code, parseErrorId, span). depth checks the DFS.
+  const st = m.parse(html, { captureSpans: true });
+  const spans = [];
+  m.walk(st, (node, depth) => {
+    const s = node.span ?? null;
+    const rec = [node.id, depth, node.kind,
+      node.kind === 'element' ? node.tagName : '',
+      node.spanProvenance, s ? s.start : null, s ? s.end : null];
+    if (node.kind === 'element') {
+      rec.push(node.attributes.map((a) => [
+        a.name, a.value, a.span ? a.span.start : null, a.span ? a.span.end : null,
+      ]));
+    }
+    spans.push(rec);
+  });
+  rec.spans = spans;
+  rec.errors = st.errors.map((e) => [
+    e.code, e.parseErrorId,
+    e.span ? e.span.start : null, e.span ? e.span.end : null,
+  ]);
   return rec;
 }
 

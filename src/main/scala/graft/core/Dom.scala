@@ -56,6 +56,10 @@ final class DomElement(
   var templateContent: DomFragment = null
   // span bookkeeping (UTF-16 code-unit offsets into the original input)
   var startTagEnd: Int = -1
+  // sticky marker: a name-matching end tag set this element's end location
+  // (parse5 records an `endTag` sub-location; the html/body EOF finalize
+  // rules consult it — parser/index.js:2214-2227, :3146-3155)
+  var endTagMatched: Boolean = false
   // lazily-computed scope/special bitmask (TreeBuilder.elFlags); -1 = unset.
   // Safe to cache because tagName/namespace are fixed after the SVG
   // case-adjust at creation time.

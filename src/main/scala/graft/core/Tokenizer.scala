@@ -139,6 +139,13 @@ final class Tokenizer(input: String, sink: TokenSink) {
   private var charStart = -1
   private var charEnd = -1
   private var charIsWs = false
+  // parse5 `currentLocation` mirror: a NEW character run starts at this
+  // anchor — the position just past the last emitted token, or the cursor
+  // position of the most recent class-change flush — NOT at the char's own
+  // position. The two differ when dropped constructs (`</>`; partial tags
+  // at EOF; CDATA brackets) sit between the run's anchor and its first
+  // char (tokenizer/index.js:317-321,363-365,448-450).
+  private var runAnchor = 0
 
   // --- current tag / comment / doctype work state ---
   private var tag: TagToken = null
@@ -188,12 +195,14 @@ final class Tokenizer(input: String, sink: TokenSink) {
     if (c == '\u0000') {
       flushChars()
       sink.onNull(curStart)
+      runAnchor = curStart + 1
       return
     }
     val ws = isWsChar(c)
-    if (charStart < 0) { charStart = curStart; charIsWs = ws }
+    if (charStart < 0) { charStart = runAnchor; charIsWs = ws }
     else if (ws != charIsWs) {
       flushChars()
+      runAnchor = curStart
       charStart = curStart
       charIsWs = ws
     }
@@ -201,16 +210,25 @@ final class Tokenizer(input: String, sink: TokenSink) {
     charEnd = pos
   }
 
-  /** Append decoded character-reference text (may mix classes). */
+  /** Append decoded character-reference text (may mix classes).
+    * parse5 rewinds the cursor to the LAST consumed character of the
+    * reference before flushing the decoded code points (tokenizer
+    * entityDecoder callback: `pos = entityStartPos + consumed - 1`), so a
+    * run STARTING with an entity starts at srcEnd-1 and a class-change
+    * flush triggered by a decoded char ends the previous run there.
+    */
   private def emitDecoded(s: String, srcStart: Int, srcEnd: Int): Unit = {
+    val at = srcEnd - 1
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       val ws = isWsChar(c)
-      if (charStart < 0) { charStart = srcStart; charIsWs = ws }
+      if (charStart < 0) { charStart = runAnchor; charIsWs = ws }
       else if (ws != charIsWs) {
+        charEnd = at
         flushChars()
-        charStart = srcStart
+        runAnchor = at
+        charStart = at
         charIsWs = ws
       }
       charBuf.append(c)
@@ -256,6 +274,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
         pos = p; charEnd = p
         flushChars()
         cls = !cls
+        runAnchor = p
         charStart = p
         charIsWs = cls
         from = p
@@ -385,7 +404,11 @@ final class Tokenizer(input: String, sink: TokenSink) {
   private def emitTag(): Unit = {
     tag.name = if (fastTagName != null) fastTagName else nameBuf.toString
     tag.end = pos
+    // parse5 prepareToken: the pending character token's end is rewritten to
+    // the emitted token's START (covers dropped constructs in between)
+    if (charBuf.nonEmpty) charEnd = tag.start
     flushChars()
+    runAnchor = pos
     if (tag.isEnd) {
       if (tag.attrs.nonEmpty) err("end-tag-with-attributes")
       if (tag.selfClosing) err("end-tag-with-trailing-solidus")
@@ -398,7 +421,9 @@ final class Tokenizer(input: String, sink: TokenSink) {
   }
 
   private def emitComment(): Unit = {
+    if (charBuf.nonEmpty) charEnd = tokenStart
     flushChars()
+    runAnchor = pos
     sink.onComment(commentBuf.toString, tokenStart, pos)
     commentBuf.clear()
   }
@@ -406,11 +431,17 @@ final class Tokenizer(input: String, sink: TokenSink) {
   private def emitDoctype(): Unit = {
     doctype.end = pos
     flushChars()
+    runAnchor = pos
     sink.onDoctype(doctype)
     doctype = null
   }
 
   private def emitEof(): Unit = {
+    // parse5 overwrites the pending character token's end location with the
+    // EOF token's (= input length), so text truncated by a discarded partial
+    // construct at EOF spans through it (tokenizer _emitEOFToken +
+    // _emitCurrentCharacterToken end-rewrite)
+    if (charBuf.nonEmpty) charEnd = len
     flushChars()
     sink.onEof(len)
   }
@@ -584,7 +615,8 @@ final class Tokenizer(input: String, sink: TokenSink) {
             commentBuf.clear(); reconsume(); state = BogusComment
           } else if (c == EOF) {
             err("eof-before-tag-name")
-            emitChar('<'); emitEof(); running = false
+            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            emitEof(); running = false
           } else {
             err("invalid-first-character-of-tag-name")
             // emit '<' at its original position, then reprocess in data
@@ -603,7 +635,9 @@ final class Tokenizer(input: String, sink: TokenSink) {
             err("missing-end-tag-name"); state = Data
           } else if (c == EOF) {
             err("eof-before-tag-name")
-            emitChar('<'); emitChar('/'); emitEof(); running = false
+            val save = curStart; curStart = tokenStart
+            emitChar('<'); emitChar('/'); curStart = save
+            emitEof(); running = false
           } else {
             err("invalid-first-character-of-tag-name")
             commentBuf.clear(); reconsume(); state = BogusComment

@@ -89,7 +89,12 @@ final class AfeEntry(
     var element: DomElement, // null for markers
     val name: String,
     val ns: Int,
-    val attrsSnapshot: Vector[(String, String)]
+    val attrsSnapshot: Vector[(String, String)],
+    // original start-tag token offsets — parse5 keeps the token on the entry
+    // and reconstruction re-inserts with ITS location (parser/index.js:546)
+    val tokStart: Int = -1,
+    val tokEnd: Int = -1,
+    val attrSpans: Vector[(Int, Int)] = Vector.empty
 ) {
   def isMarker: Boolean = element == null && name == null
 }
@@ -140,10 +145,17 @@ final class TreeBuilder(
   private val pendingTableChars = new ArrayBuffer[(String, Boolean, Int, Int)]
   private var fosterParenting = false
 
-  // current-token info for span end-location bookkeeping
+  // current-token info for trace context and error spans
   private var curTokStart = -1
   private var curTokEnd = -1
   private var curTokEndTagName: String = null
+  // parse5 `currentToken` mirror for END-LOCATION bookkeeping: updated ONLY
+  // by start/end-tag tokens (parser/index.js:899,1022) — character, comment,
+  // doctype and EOF tokens do NOT touch it, so pops they trigger (including
+  // EOF-mode pops) take their end location from the LAST tag token seen.
+  private var locTokStart = -1
+  private var locTokEnd = -1
+  private var locTokEndTagName: String = null
   // current-token summary for trace mode transitions (parse5 TokenType names)
   private var curTokType: String = null
   private var curTokTagName: String = null
@@ -176,12 +188,21 @@ final class TreeBuilder(
     el
   }
 
-  private def setEndLocation(el: DomElement): Unit = {
-    if (!captureSpans || el.startOffset < 0) return
-    if (el.endOffset >= 0) return
-    if (curTokEndTagName != null && curTokEndTagName == el.tagName && el.namespace == Ns.Html)
-      el.endOffset = curTokEnd
-    else if (curTokStart >= 0) el.endOffset = curTokStart
+  /** parse5 `_setEndLocation` (parser/index.js:443-465): fires on every
+    * stack pop/remove with the token being processed; always overwrites;
+    * matches the end-tag name namespace-blind against the element's stored
+    * (case-adjusted) name — the foreign end-tag walk patches the token name
+    * first, mirroring parser/index.js:3303-3305.
+    */
+  private def setEndLocation(el: DomElement): Unit =
+    setEndLocationAt(el, locTokStart, locTokEnd, locTokEndTagName)
+
+  private def setEndLocationAt(el: DomElement, tStart: Int, tEnd: Int, tName: String): Unit = {
+    if (!captureSpans || el.startOffset < 0 || tStart < 0) return
+    if (tName != null && tName == el.tagName) {
+      el.endOffset = tEnd
+      el.endTagMatched = true
+    } else el.endOffset = tStart
   }
 
   private def popUntilPopped(name: String): Unit = {
@@ -553,7 +574,13 @@ final class TreeBuilder(
       i -= 1
     }
     if (count >= 3 && earliestIdx >= 0) afe.remove(earliestIdx)
-    afe += new AfeEntry(el, el.tagName, el.namespace, snap())
+    val spans = {
+      val b = Vector.newBuilder[(Int, Int)]
+      var j = 0
+      while (j < tag.attrs.length) { val a = tag.attrs(j); b += ((a.start, a.end)); j += 1 }
+      b.result()
+    }
+    afe += new AfeEntry(el, el.tagName, el.namespace, snap(), tag.start, tag.end, spans)
   }
 
   private def afeIndexOf(el: DomElement): Int = afe.indexWhere(e => e.element eq el)
@@ -607,7 +634,19 @@ final class TreeBuilder(
     while (entryIdx < afe.length) {
       val e = afe(entryIdx)
       val el = new DomElement(e.name, e.ns)
-      e.attrsSnapshot.foreach { case (n, v) => el.attrs += new DomAttr(n, v) }
+      var ai = 0
+      while (ai < e.attrsSnapshot.length) {
+        val (n, v) = e.attrsSnapshot(ai)
+        val (as, ae) = if (ai < e.attrSpans.length) e.attrSpans(ai) else (-1, -1)
+        el.attrs += new DomAttr(n, v, as, ae)
+        ai += 1
+      }
+      // parse5 reconstructs via _insertElement(entry.token) — the recreated
+      // element carries the ORIGINAL start tag's location (parser/index.js:546)
+      if (captureSpans && e.tokStart >= 0) {
+        el.startOffset = e.tokStart
+        el.startTagEnd = e.tokEnd
+      }
       insertNodeAt(insertionLocation(null), el)
       push(el)
       e.element = el
@@ -665,6 +704,9 @@ final class TreeBuilder(
             nodeAfeIdx = -1
           }
           if (nodeAfeIdx < 0) {
+            // parse5 openElements.remove fires onItemPop → end location
+            // from the current (end-tag) token (open-element-stack.js:171)
+            setEndLocation(stack(nodeIdx))
             stack.remove(nodeIdx)
             // fbIdx shifts down, but we no longer need it
           } else {
@@ -720,7 +762,8 @@ final class TreeBuilder(
         if (removeIdx < bookmark) bookmark -= 1
         afe.remove(removeIdx)
       }
-      val newEntry = new AfeEntry(clone, clone.tagName, clone.namespace, fmtEntry.attrsSnapshot)
+      val newEntry = new AfeEntry(clone, clone.tagName, clone.namespace, fmtEntry.attrsSnapshot,
+        fmtEntry.tokStart, fmtEntry.tokEnd, fmtEntry.attrSpans)
       if (bookmark < 0) bookmark = 0
       if (bookmark > afe.length) bookmark = afe.length
       afe.insert(bookmark, newEntry)
@@ -992,6 +1035,7 @@ final class TreeBuilder(
   override def onStartTag(tag: TagToken): Unit = {
     if (stopped) return
     curTokStart = tag.start; curTokEnd = tag.end; curTokEndTagName = null
+    locTokStart = tag.start; locTokEnd = tag.end; locTokEndTagName = null
     setTokContext("START_TAG", tag.name)
     ignoreNextLf = false
     if (useForeignRules(isStartTag = true, isChar = false, tag.name))
@@ -1002,6 +1046,7 @@ final class TreeBuilder(
   override def onEndTag(tag: TagToken): Unit = {
     if (stopped) return
     curTokStart = tag.start; curTokEnd = tag.end; curTokEndTagName = tag.name
+    locTokStart = tag.start; locTokEnd = tag.end; locTokEndTagName = tag.name
     setTokContext("END_TAG", tag.name)
     ignoreNextLf = false
     if (useForeignRules(isStartTag = false, isChar = false, tag.name))
@@ -1071,12 +1116,27 @@ final class TreeBuilder(
     curTokStart = pos; curTokEnd = pos; curTokEndTagName = null
     setTokContext("EOF", null)
     processEof(pos)
-    // finalize spans for everything still open
-    while (stack.nonEmpty) {
-      val el = stack.remove(stack.length - 1)
-      if (captureSpans && el.startOffset >= 0 && el.endOffset < 0)
-        el.endOffset = pos
+    // parse5 stopParsing (parser/index.js:2204-2231): EOF end locations for
+    // whatever remains open — everything above <body> unconditionally, then
+    // html only when it never saw a matching end tag, and body only when
+    // html itself lacked one AND body never saw its own.
+    if (captureSpans) {
+      val target = if (fragmentContext != null) 0 else 2
+      var i = stack.length - 1
+      while (i >= target) { setEndLocationAt(stack(i), pos, pos, null); i -= 1 }
+      if (fragmentContext == null && stack.nonEmpty) {
+        val html = stack(0)
+        if (html.startOffset >= 0 && !html.endTagMatched) {
+          setEndLocationAt(html, pos, pos, null)
+          if (stack.length >= 2) {
+            val body = stack(1)
+            if (body.startOffset >= 0 && !body.endTagMatched)
+              setEndLocationAt(body, pos, pos, null)
+          }
+        }
+      }
     }
+    stack.clear()
   }
 
   override def onParseError(code: String, start: Int, end: Int): Unit =
@@ -2103,6 +2163,17 @@ final class TreeBuilder(
           if (fragmentContext != null)
             err("unexpected-end-tag-after-body", tag.start, tag.end)
           else mode = AfterAfterBody
+          // parse5 endTagAfterBody: <html> is never popped — update its end
+          // location, and <body>'s unless body saw its own matching end tag
+          // (parser/index.js:3146-3155)
+          if (captureSpans && stack.nonEmpty &&
+            stack(0).namespace == Ns.Html && stack(0).tagName == "html") {
+            setEndLocation(stack(0))
+            if (stack.length >= 2) {
+              val body = stack(1)
+              if (!body.endTagMatched) setEndLocation(body)
+            }
+          }
         } else {
           err("unexpected-end-tag-after-body", tag.start, tag.end)
           mode = InBody
@@ -2194,7 +2265,15 @@ final class TreeBuilder(
       case "template" => endTagTemplate(tag)
       case "body" =>
         if (!hasInScope("body")) err("unexpected-body-end-tag", tag.start, tag.end)
-        else mode = AfterBody
+        else {
+          mode = AfterBody
+          // parse5 bodyEndTagInBody: <body> is never popped, so its end
+          // location is updated explicitly (parser/index.js:2207-2218)
+          if (captureSpans && stack.length >= 2) {
+            val body = stack(1)
+            if (body.namespace == Ns.Html && body.tagName == "body") setEndLocation(body)
+          }
+        }
       case "html" =>
         if (!hasInScope("body")) err("unexpected-html-end-tag", tag.start, tag.end)
         else {
@@ -2350,6 +2429,9 @@ final class TreeBuilder(
       val node = stack(i)
       if (i == 0) { done = true }
       else if (node.tagName.toLowerCase == tag.name) {
+        // parse5 patches the token's tag name to the element's case-adjusted
+        // name so _setEndLocation matches it (parser/index.js:3303-3305)
+        locTokEndTagName = node.tagName
         popUntilElementPopped(node)
         done = true
       } else {

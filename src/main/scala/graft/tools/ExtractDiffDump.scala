@@ -114,6 +114,63 @@ object ExtractDiffDump {
         x => esc(x, Serializer.serialize(ft))
       ))
     }))
+    // spans + parse-error parity (reference toPublicSpan/toSpanProvenance,
+    // mod.ts:231-244): re-parse with captureSpans and dump per-node span
+    // records plus the error list
+    val st = HtmlParser.parse(html, ParseOptions(captureSpans = true))
+    val spanRecs = Vector.newBuilder[java.lang.StringBuilder => Unit]
+    Traversal.walk(st) { (node, depth) =>
+      spanRecs += { b =>
+        b.append('[').append(node.id).append(',').append(depth).append(',')
+        esc(b, node.kind); b.append(',')
+        node match {
+          case e: ElementNode => esc(b, e.tagName)
+          case _ => esc(b, "")
+        }
+        b.append(',')
+        esc(b, node.spanProvenance); b.append(',')
+        node.span match {
+          case Some(s) => b.append(s.start).append(',').append(s.end)
+          case None => b.append("null,null")
+        }
+        node match {
+          case e: ElementNode =>
+            b.append(",[")
+            var first = true
+            e.attributes.foreach { a =>
+              if (!first) b.append(',')
+              first = false
+              b.append('[')
+              esc(b, a.name); b.append(',')
+              esc(b, a.value); b.append(',')
+              a.span match {
+                case Some(s) => b.append(s.start).append(',').append(s.end)
+                case None => b.append("null,null")
+              }
+              b.append(']')
+            }
+            b.append(']')
+          case _ =>
+        }
+        b.append(']')
+        ()
+      }
+    }
+    field("spans")(arr(sb, spanRecs.result()))
+    field("errors")(arr(sb, st.errors.map { e => (b: java.lang.StringBuilder) =>
+      arr(b, Seq[java.lang.StringBuilder => Unit](
+        x => esc(x, e.code),
+        x => esc(x, e.parseErrorId),
+        x => e.span match {
+          case Some(s) => { x.append(s.start); () }
+          case None => { x.append("null"); () }
+        },
+        x => e.span match {
+          case Some(s) => { x.append(s.end); () }
+          case None => { x.append("null"); () }
+        }
+      ))
+    }))
     sb.append('}')
     sb.toString
   }
