@@ -161,6 +161,49 @@ def corpus():
 
     profile = os.environ.get("EXTRACT_DIFF_PROFILE", "")
 
+    # EXTRACT_DIFF_PROFILE=errors: constructs chosen to exercise every corner
+    # of the public parse-error surface — doctype soup, comment soup, attr
+    # quote/equals soup, entity families (numeric validation, legacy
+    # no-semicolon, absent digits), NUL injection, CDATA in HTML vs foreign,
+    # self-closing non-void tags, head/noscript structure errors.
+    if profile == "errors":
+        rng = random.Random(seed0 ^ 0xE44052)
+        frags = [
+            "<!DOCTYPE html>", "<!DOCTYPE html >", "<!doctype HTML>",
+            "<!DOCTYPE>", "<!DOCTYPE  html PUBLIC 'x'>", "<!DOCTYPEhtml>",
+            "<!DOCTYPE html SYSTEM 'about:legacy-compat'>",
+            "<!DOCTYPE bogus>", "<!DOCTYPE html PUBLIC>",
+            "<!-- ok -->", "<!-->", "<!--->", "<!--x--!>", "<!--x--x-->",
+            "<! bogus>", "<?php ?>", "</>", "</ x>", "<![CDATA[y]]>",
+            "<b/>", "<div/>", "<br/>", "<img/>", "<svg/>", "<svg><rect/></svg>",
+            "<svg><![CDATA[z]]></svg>", "<math><mi/></math>",
+            "&#0;", "&#x0;", "&#;", "&#x;", "&#xG;", "&#xD800;", "&#x110000;",
+            "&#1;", "&#13;", "&#xFDD0;", "&#xFFFF;", "&#150;", "&#xA0;",
+            "&amp", "&ampx", "&amp;", "&notin", "&noti;", "&bogusref;", "&",
+            "&#999999999999;",
+            "<b a=>", "<b =c>", "<b 'q'=1>", "<b a a=2>", "<b a='x' a='y'>",
+            "<b a=\"1\"b=2>", "<b a='1'b>", "</b a=1>", "</b/>",
+            "<head><noscript><p>x</p></noscript></head>",
+            "<head><noscript><noscript></head>",
+            "<head><head>", "<head></head><head>", "<body><head>",
+            "<html><head></head><body></body></html><title>t</title>",
+            "</body></body>", "</html></html>", "</head></head>",
+            "<template></template></template>", "<template><td>",
+            "text\x00text", "<b>\x00</b>", "<svg>\x00</svg>", "<title>\x00</title>",
+            "<textarea>\x00", "<style>\x00</style>", "<!--\x00-->", "<b a\x00=1>",
+            "<b a='\x00'>", "<b\x00c=1>", "<!DOCTYPE ht\x00ml>",
+            "x<3", "x<=", "a<>b", "<p", "</p", "<p a", "<p a='x",
+        ]
+        texts2 = ["t", " ", "<p>p</p>", "<table><td>c</table>", ""]
+        def errors_case():
+            parts = []
+            for _ in range(rng.randint(2, 10)):
+                parts.append(rng.choice(frags) if rng.random() < 0.7
+                             else rng.choice(texts2))
+            return "".join(parts) or "x"
+        for _ in range(3000):
+            cases.append(errors_case())
+
     # EXTRACT_DIFF_PROFILE=unicode: exotic whitespace and format characters
     # woven through text, entities, pre blocks and element edges — hunts
     # divergences in the normalization passes' character classes (segment

@@ -746,16 +746,15 @@ object SparkEntry {
 
     "q_adv_foster" ->
       (s"SELECT doc_id, lang || $NL || $NL || text AS extracted_text, " +
-        "CAST(1 AS BIGINT) AS n_errors, 'unexpected-character-in-table' AS first_error FROM documents"),
+        "CAST(1 AS BIGINT) AS n_errors, 'missing-doctype' AS first_error FROM documents"),
 
     "q_adv_entities" ->
       (s"SELECT doc_id, text || ' ' || chr(8211) || ' ' || chr(169) || ' A &' AS extracted_text, " +
-        "CAST(1 AS BIGINT) AS n_errors, 'missing-semicolon-after-character-reference' AS first_error FROM documents"),
+        "CAST(3 AS BIGINT) AS n_errors, 'missing-doctype' AS first_error FROM documents"),
 
     "q_adv_soup" ->
       (s"SELECT doc_id, lang || $NL || $NL || text || $NL || $NL || source AS extracted_text, " +
-        "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN CAST(0 AS BIGINT) ELSE 1 END AS n_errors, " +
-        "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN '' ELSE 'unexpected-cell-in-table-body' END AS first_error " +
+        "CAST(1 AS BIGINT) AS n_errors, 'missing-doctype' AS first_error " +
         "FROM documents"),
 
     "q_adv_foreign_template" ->
@@ -780,9 +779,9 @@ object SparkEntry {
 
     "q_trace" ->
       ("SELECT doc_id, " +
-        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN CAST(11 AS BIGINT) WHEN 1 THEN 22 ELSE 11 END AS n_events, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN CAST(12 AS BIGINT) WHEN 1 THEN 22 ELSE 12 END AS n_events, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN CAST(5 AS BIGINT) WHEN 1 THEN 15 ELSE 5 END AS n_transitions, " +
-        "CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN CAST(1 AS BIGINT) ELSE 0 END AS n_parse_errors, " +
+        "CAST(1 AS BIGINT) AS n_parse_errors, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN CAST(4 AS BIGINT) WHEN 1 THEN 9 ELSE 10 END AS n_tokens, " +
         "'IN_BODY' AS last_to_mode FROM documents"),
 
@@ -794,9 +793,9 @@ object SparkEntry {
         "CAST(3 AS BIGINT) AS text_start, length(text) + 3 AS text_end FROM documents"),
 
     "q_parse_errors" ->
-      ("SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN CAST(0 AS BIGINT) WHEN 1 THEN 1 ELSE 2 END AS n_errors, " +
-        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '' WHEN 1 THEN 'missing-semicolon-after-character-reference' " +
-        "ELSE 'end-tag-with-trailing-solidus' END AS first_error FROM documents"),
+      ("SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN CAST(1 AS BIGINT) WHEN 1 THEN 2 ELSE 2 END AS n_errors, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 'end-tag-with-trailing-solidus' " +
+        "ELSE 'missing-doctype' END AS first_error FROM documents"),
 
     "q_tokenize" ->
       "SELECT doc_id, CAST(7 AS BIGINT) AS n_tokens, length(text) + length(lang) AS n_chars FROM documents",

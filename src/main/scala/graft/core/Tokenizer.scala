@@ -181,14 +181,66 @@ final class Tokenizer(input: String, sink: TokenSink) {
     val c = input.charAt(pos)
     pos += 1
     if (c == '\r') {
+      // parse5's preprocessor returns LF for CR without input validation
       if (pos < len && input.charAt(pos) == '\n') pos += 1
       '\n'.toInt
-    } else c.toInt
+    } else {
+      if ((c < 0x20 && c != 0x09 && c != 0x0a) || c >= 0x7f)
+        validateInputCharAt(c, curStart)
+      c.toInt
+    }
+  }
+
+  // --- input-stream validation (parse5 preprocessor, per consumed char) ---
+  private var lastInputErrOffset = -1
+
+  private def inputErr(code: String, at: Int): Unit =
+    if (at != lastInputErrOffset) {
+      lastInputErrOffset = at
+      sink.onParseError(code, at, at)
+    }
+
+  /** parse5 preprocessor _checkForProblematicCharacters: every consumed
+    * code point is validated once — controls (C0 minus whitespace, DEL/C1)
+    * and noncharacters err with a zero-length span at the char; lone
+    * surrogates err surrogate-in-input-stream; a valid surrogate PAIR is
+    * validated as its combined code point at the TRAIL unit's offset.
+    */
+  private def validateInputCharAt(c: Char, at: Int): Unit = {
+    if (c >= 0xd800 && c <= 0xdfff) {
+      if (c < 0xdc00) {
+        val hasTrail = at + 1 < len && {
+          val t = input.charAt(at + 1); t >= 0xdc00 && t <= 0xdfff
+        }
+        if (hasTrail) {
+          val cp = 0x10000 + ((c - 0xd800) << 10) + (input.charAt(at + 1) - 0xdc00)
+          if ((cp & 0xfffe) == 0xfffe) inputErr("noncharacter-in-input-stream", at + 1)
+        } else inputErr("surrogate-in-input-stream", at)
+      } else {
+        val prevIsLead = at > 0 && {
+          val pc = input.charAt(at - 1); pc >= 0xd800 && pc < 0xdc00
+        }
+        if (!prevIsLead) inputErr("surrogate-in-input-stream", at)
+      }
+    } else if ((c >= 0x01 && c <= 0x1f && c != 0x09 && c != 0x0a && c != 0x0c &&
+        c != 0x0d) || (c >= 0x7f && c <= 0x9f))
+      inputErr("control-character-in-input-stream", at)
+    else if ((c >= 0xfdd0 && c <= 0xfdef) || (c & 0xfffe) == 0xfffe)
+      inputErr("noncharacter-in-input-stream", at)
   }
 
   private def reconsume(): Unit = { pos = curStart }
 
-  private def err(code: String): Unit = sink.onParseError(code, curStart, pos)
+  /** parse5 tokenizer errors are ZERO-LENGTH spans at the preprocessor's
+    * current offset — the code point being consumed (preprocessor getError:
+    * start == end == offset + cpOffset). Parser-level errors keep full
+    * token spans; only the tokenizer collapses to a point.
+    */
+  private def err(code: String): Unit = sink.onParseError(code, curStart, curStart)
+
+  /** Zero-length tokenizer error at an explicit offset (entity errors fire
+    * at the position just past the consumed reference). */
+  private def errAt(code: String, at: Int): Unit = sink.onParseError(code, at, at)
 
   // --- char run emission ---
   private def emitChar(c: Char): Unit = {
@@ -201,6 +253,9 @@ final class Tokenizer(input: String, sink: TokenSink) {
     val ws = isWsChar(c)
     if (charStart < 0) { charStart = runAnchor; charIsWs = ws }
     else if (ws != charIsWs) {
+      // parse5 rewrites the pending token's end to the flush cursor — for a
+      // re-emitted '<' the cursor sits on the char AFTER it, covering the gap
+      charEnd = curStart
       flushChars()
       runAnchor = curStart
       charStart = curStart
@@ -265,6 +320,8 @@ final class Tokenizer(input: String, sink: TokenSink) {
     var p = pos
     while (p < len) {
       val ch = input.charAt(p)
+      if ((ch < 0x20 && ch != 0x09 && ch != 0x0a) || ch >= 0x7f)
+        validateInputCharAt(ch, p)
       if ((stopAmp && ch == '&') || (stopLt && ch == '<') ||
           ch == '\u0000' || ch == '\r') {
         charBuf.underlying.append(input, from, p); pos = p; charEnd = p
@@ -296,6 +353,8 @@ final class Tokenizer(input: String, sink: TokenSink) {
     var p = pos
     while (p < len) {
       val ch = input.charAt(p)
+      if ((ch < 0x20 && ch != 0x09 && ch != 0x0a) || ch >= 0x7f)
+        validateInputCharAt(ch, p)
       if ((ch < 64 && ((m0 >>> ch) & 1L) != 0) ||
           (ch >= 64 && ch < 128 && ((m1 >>> (ch - 64)) & 1L) != 0) ||
           (lower && ch >= 'A' && ch <= 'Z')) {
@@ -349,7 +408,8 @@ final class Tokenizer(input: String, sink: TokenSink) {
         pos = p
         return
       }
-      if ((ch >= 'A' && ch <= 'Z') || ch == '\u0000' || ch == '\r') return
+      if ((ch >= 'A' && ch <= 'Z') || ch < 0x20 ||
+          (ch >= 0x7f && ch <= 0x9f) || ch >= 0xd800) return
       p += 1
     }
   }
@@ -372,7 +432,8 @@ final class Tokenizer(input: String, sink: TokenSink) {
         pos = p
         return
       }
-      if ((ch >= 'A' && ch <= 'Z') || ch == '\u0000' || ch == '\r' ||
+      if ((ch >= 'A' && ch <= 'Z') || ch < 0x20 ||
+          (ch >= 0x7f && ch <= 0x9f) || ch >= 0xd800 ||
           ch == '"' || ch == '\'' || ch == '<') return
       p += 1
     }
@@ -392,13 +453,24 @@ final class Tokenizer(input: String, sink: TokenSink) {
     attrHasValue = false
   }
 
-  private def finishAttrValue(includesQuote: Boolean): Unit = {
+  /** Store the pending value on the current attribute. The attribute's end
+    * offset is NOT touched here: parse5 updates it only on a CLEAN exit of
+    * the value ([after-]attribute-value states seeing ws/'/'/'>', mirrored
+    * by leaveAttrValue) — malformed exits (missing whitespace between
+    * attributes, missing attribute value, EOF) leave the end where
+    * _leaveAttrName put it, at the character that terminated the name.
+    */
+  private def finishAttrValue(): Unit = {
     if (tag.attrs.nonEmpty && !attrSkip) {
       val a = tag.attrs(tag.attrs.length - 1)
       a.value = attrValueBuf.toString
-      a.end = if (includesQuote) pos else curStart
     }
     attrValueBuf.clear()
+  }
+
+  /** parse5 _leaveAttrValue: attr end = the cursor's current offset. */
+  private def leaveAttrValue(): Unit = {
+    if (tag.attrs.nonEmpty && !attrSkip) tag.attrs(tag.attrs.length - 1).end = curStart
   }
 
   private def emitTag(): Unit = {
@@ -430,6 +502,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
 
   private def emitDoctype(): Unit = {
     doctype.end = pos
+    if (charBuf.nonEmpty) charEnd = doctype.start
     flushChars()
     runAnchor = pos
     sink.onDoctype(doctype)
@@ -490,26 +563,54 @@ final class Tokenizer(input: String, sink: TokenSink) {
         }
       }
       if (digits == 0) {
-        err("absence-of-digits-in-numeric-character-reference")
+        // parse5: error lands just past the consumed '&#'/'&#x' prefix
+        errAt("absence-of-digits-in-numeric-character-reference", p)
         return null
       }
-      if (p < len && input.charAt(p) == ';') p += 1
-      else err("missing-semicolon-after-character-reference")
-      val cp = Entities.replaceNumeric(value)
+      val hasSemi = p < len && input.charAt(p) == ';'
+      if (hasSemi) p += 1
       pos = p
+      // parse5 emitNumericEntity order: emit, then missing-semicolon, then
+      // numeric validation — all at the position past the full reference
+      if (!hasSemi) errAt("missing-semicolon-after-character-reference", p)
+      val verr =
+        if (value == 0) "null-character-reference"
+        else if (value > 0x10FFFF) "character-reference-outside-unicode-range"
+        else if (value >= 0xD800 && value <= 0xDFFF) "surrogate-character-reference"
+        else if ((value >= 0xFDD0 && value <= 0xFDEF) || (value & 0xFFFE) == 0xFFFE)
+          "noncharacter-character-reference"
+        else if ((value >= 0x01 && value <= 0x1F && value != 0x09 && value != 0x0A &&
+            value != 0x0C) || (value >= 0x7F && value <= 0x9F))
+          "control-character-reference"
+        else null
+      if (verr != null) errAt(verr, p)
+      val cp = Entities.replaceNumeric(value)
       val sb = new StringBuilder(2)
       Entities.appendCodePoint(sb, cp)
       sb.toString
     } else if (isAsciiAlnum(c0)) {
       val m = Entities.matchNamed(input, pos)
-      if (m == null) return null
+      if (m == null) {
+        // spec ambiguous-ampersand state (parse5 enters it only OUTSIDE
+        // attribute values): a maximal alphanumeric run terminated by ';'
+        // that matches nothing errs unknown-named-character-reference at
+        // the ';'
+        if (!inAttribute) {
+          var q = pos
+          while (q < len && isAsciiAlnum(input.charAt(q))) q += 1
+          if (q > pos && q < len && input.charAt(q) == ';')
+            errAt("unknown-named-character-reference", q)
+        }
+        return null
+      }
       val (nameLen, replacement) = m
       val endsWithSemi = input.charAt(pos + nameLen - 1) == ';'
       if (!endsWithSemi && inAttribute) {
         val next = if (pos + nameLen < len) input.charAt(pos + nameLen) else ' '
         if (next == '=' || isAsciiAlnum(next)) return null
       }
-      if (!endsWithSemi) err("missing-semicolon-after-character-reference")
+      if (!endsWithSemi)
+        errAt("missing-semicolon-after-character-reference", pos + nameLen)
       pos += nameLen
       replacement
     } else null
@@ -615,15 +716,12 @@ final class Tokenizer(input: String, sink: TokenSink) {
             commentBuf.clear(); reconsume(); state = BogusComment
           } else if (c == EOF) {
             err("eof-before-tag-name")
-            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            emitChar('<')
             emitEof(); running = false
           } else {
             err("invalid-first-character-of-tag-name")
             // emit '<' at its original position, then reprocess in data
-            val save = curStart
-            curStart = tokenStart
             emitChar('<')
-            curStart = save
             reconsume(); state = Data
           }
 
@@ -635,8 +733,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             err("missing-end-tag-name"); state = Data
           } else if (c == EOF) {
             err("eof-before-tag-name")
-            val save = curStart; curStart = tokenStart
-            emitChar('<'); emitChar('/'); curStart = save
+            emitChar('<'); emitChar('/')
             emitEof(); running = false
           } else {
             err("invalid-first-character-of-tag-name")
@@ -660,7 +757,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
           val c = read()
           if (c == '/') { tempBuf.clear(); state = RcdataEndTagOpen }
           else {
-            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            emitChar('<')
             reconsume(); state = Rcdata
           }
 
@@ -669,8 +766,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
           if (isAsciiAlpha(c)) {
             startTag(isEnd = true); reconsume(); state = RcdataEndTagName
           } else {
-            val save = curStart; curStart = tokenStart
-            emitChar('<'); emitChar('/'); curStart = save
+            emitChar('<'); emitChar('/')
             reconsume(); state = Rcdata
           }
 
@@ -681,7 +777,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
           val c = read()
           if (c == '/') { tempBuf.clear(); state = RawtextEndTagOpen }
           else {
-            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            emitChar('<')
             reconsume(); state = Rawtext
           }
 
@@ -690,8 +786,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
           if (isAsciiAlpha(c)) {
             startTag(isEnd = true); reconsume(); state = RawtextEndTagName
           } else {
-            val save = curStart; curStart = tokenStart
-            emitChar('<'); emitChar('/'); curStart = save
+            emitChar('<'); emitChar('/')
             reconsume(); state = Rawtext
           }
 
@@ -703,10 +798,10 @@ final class Tokenizer(input: String, sink: TokenSink) {
           if (c == '/') { tempBuf.clear(); state = ScriptDataEndTagOpen }
           else if (c == '!') {
             state = ScriptDataEscapeStart
-            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            emitChar('<')
             emitChar('!')
           } else {
-            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            emitChar('<')
             reconsume(); state = ScriptData
           }
 
@@ -715,8 +810,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
           if (isAsciiAlpha(c)) {
             startTag(isEnd = true); reconsume(); state = ScriptDataEndTagName
           } else {
-            val save = curStart; curStart = tokenStart
-            emitChar('<'); emitChar('/'); curStart = save
+            emitChar('<'); emitChar('/')
             reconsume(); state = ScriptData
           }
 
@@ -776,10 +870,10 @@ final class Tokenizer(input: String, sink: TokenSink) {
           if (c == '/') { tempBuf.clear(); state = ScriptDataEscapedEndTagOpen }
           else if (isAsciiAlpha(c)) {
             tempBuf.clear()
-            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            emitChar('<')
             reconsume(); state = ScriptDataDoubleEscapeStart
           } else {
-            val save = curStart; curStart = tokenStart; emitChar('<'); curStart = save
+            emitChar('<')
             reconsume(); state = ScriptDataEscaped
           }
 
@@ -788,8 +882,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
           if (isAsciiAlpha(c)) {
             startTag(isEnd = true); reconsume(); state = ScriptDataEscapedEndTagName
           } else {
-            val save = curStart; curStart = tokenStart
-            emitChar('<'); emitChar('/'); curStart = save
+            emitChar('<'); emitChar('/')
             reconsume(); state = ScriptDataEscaped
           }
 
@@ -921,7 +1014,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case '\''                     => state = AttrValueSingle
             case '>' =>
               err("missing-attribute-value")
-              finishAttrValue(includesQuote = false)
+              finishAttrValue()
               state = Data; emitTag()
             case _ => reconsume(); state = AttrValueUnquoted
           }
@@ -929,7 +1022,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
         case AttrValueDouble =>
           val c = read()
           c match {
-            case '"' => finishAttrValue(includesQuote = true); state = AfterAttrValueQuoted
+            case '"' => finishAttrValue(); state = AfterAttrValueQuoted
             case '&' => attrCharRef()
             case 0 =>
               err("unexpected-null-character"); attrValueBuf.append('�')
@@ -940,7 +1033,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
         case AttrValueSingle =>
           val c = read()
           c match {
-            case '\'' => finishAttrValue(includesQuote = true); state = AfterAttrValueQuoted
+            case '\'' => finishAttrValue(); state = AfterAttrValueQuoted
             case '&'  => attrCharRef()
             case 0 =>
               err("unexpected-null-character"); attrValueBuf.append('�')
@@ -952,10 +1045,10 @@ final class Tokenizer(input: String, sink: TokenSink) {
           val c = read()
           c match {
             case '\t' | '\n' | '\f' | ' ' =>
-              finishAttrValue(includesQuote = false); state = BeforeAttrName
+              finishAttrValue(); leaveAttrValue(); state = BeforeAttrName
             case '&' => attrCharRef()
             case '>' =>
-              finishAttrValue(includesQuote = false); state = Data; emitTag()
+              finishAttrValue(); leaveAttrValue(); state = Data; emitTag()
             case 0 =>
               err("unexpected-null-character"); attrValueBuf.append('�')
             case '"' | '\'' | '<' | '=' | '`' =>
@@ -970,9 +1063,9 @@ final class Tokenizer(input: String, sink: TokenSink) {
         case AfterAttrValueQuoted =>
           val c = read()
           c match {
-            case '\t' | '\n' | '\f' | ' ' => state = BeforeAttrName
-            case '/'                      => state = SelfClosingStartTag
-            case '>'                      => state = Data; emitTag()
+            case '\t' | '\n' | '\f' | ' ' => leaveAttrValue(); state = BeforeAttrName
+            case '/'                      => leaveAttrValue(); state = SelfClosingStartTag
+            case '>'                      => leaveAttrValue(); state = Data; emitTag()
             case EOF => err("eof-in-tag"); emitEof(); running = false
             case _ =>
               err("missing-whitespace-between-attributes")
@@ -1009,12 +1102,14 @@ final class Tokenizer(input: String, sink: TokenSink) {
           } else if (lookaheadExact("[CDATA[")) {
             if (sink.cdataAllowed) state = CdataSection
             else {
-              err("cdata-in-html-content")
+              // parse5 errs with the cursor ON the final '[' of '<![CDATA['
+              errAt("cdata-in-html-content", pos - 1)
               commentBuf.clear(); commentBuf.append("[CDATA[")
               state = BogusComment
             }
           } else {
-            err("incorrectly-opened-comment")
+            // parse5 errs with the cursor ON the first character after '<!'
+            errAt("incorrectly-opened-comment", pos)
             commentBuf.clear(); state = BogusComment
           }
 
@@ -1459,10 +1554,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
       case _ =>
         // Not the appropriate end tag: emit `</` + buffered name as chars.
         tag = null
-        val save = curStart
-        curStart = tokenStart
         emitChar('<'); emitChar('/')
-        curStart = save
         var i = 0
         while (i < tempBuf.length) { emitChar(tempBuf.charAt(i)); i += 1 }
         tempBuf.clear()

@@ -788,7 +788,7 @@ final class TreeBuilder(
         popUntilElementPopped(node)
         done = true
       } else if (isSpecialEl(node)) {
-        err("unexpected-end-tag", curTokStart, curTokEnd)
+        ()
         done = true
       }
       i -= 1
@@ -970,7 +970,7 @@ final class TreeBuilder(
     setTokContext("NULL_CHARACTER", null)
     ignoreNextLf = false
     if (useForeignRules(isStartTag = false, isChar = true, null)) {
-      err("unexpected-null-character", start, start + 1)
+      ()
       insertCharacters("�", start, start + 1)
       return
     }
@@ -989,6 +989,7 @@ final class TreeBuilder(
   private def processNull(start: Int): Unit = {
     mode match {
       case Initial =>
+        err("missing-doctype", start, start) // beforeToken span
         document.quirksMode = "quirks"
         mode = BeforeHtml
         processNull(start)
@@ -999,7 +1000,7 @@ final class TreeBuilder(
       case InHead =>
         pop(); mode = AfterHead; processNull(start)
       case InHeadNoscript =>
-        err("unexpected-char-in-noscript", start, start + 1)
+        err("disallowed-content-in-noscript-in-head", start, start + 1)
         pop(); mode = InHead; processNull(start)
       case AfterHead =>
         insertFakeElement("body")
@@ -1041,6 +1042,9 @@ final class TreeBuilder(
     if (useForeignRules(isStartTag = true, isChar = false, tag.name))
       foreignStartTag(tag)
     else processStartTag(tag)
+    // parse5 onStartTag post-dispatch check (parser/index.js:901-903)
+    if (tag.selfClosing && !tag.ackSelfClosing)
+      err("non-void-html-element-start-tag-with-trailing-solidus", tag.start, tag.end)
   }
 
   override def onEndTag(tag: TagToken): Unit = {
@@ -1083,11 +1087,16 @@ final class TreeBuilder(
     curTokStart = d.start; curTokEnd = d.end; curTokEndTagName = null
     setTokContext("DOCTYPE", null)
     ignoreNextLf = false
-    // dispatcher: a DOCTYPE in foreign content is a parse error, ignored
-    if (useForeignRules(isStartTag = false, isChar = false, null)) {
-      err("misplaced-doctype", d.start, d.end)
-      return
-    }
+    processDoctype(d)
+  }
+
+  /** parse5 onDoctype is purely mode-based (parser/index.js:874-895): the
+    * doctype is inserted only in "initial" (erring when non-conforming);
+    * the four head-adjacent modes report misplaced-doctype; in-table-text
+    * flushes and retries in the original mode; every other mode — body,
+    * foreign content, Undefined — ignores it silently with no error.
+    */
+  private def processDoctype(d: DoctypeTok): Unit = {
     mode match {
       case Initial =>
         val node = new DomDoctype(
@@ -1097,17 +1106,21 @@ final class TreeBuilder(
         )
         if (captureSpans) { node.startOffset = d.start; node.endOffset = d.end }
         document.appendChild(node)
+        // parse5 doctypeInInitialMode + doctype.isConforming
+        if (!(d.name == "html" && d.publicId == null &&
+            (d.systemId == null || d.systemId == "about:legacy-compat")))
+          err("non-conforming-doctype", d.start, d.end)
         document.quirksMode =
           if (d.forceQuirks) "quirks"
           else HtmlMeta.documentMode(
             if (d.name == null) "" else d.name, d.publicId, d.systemId)
         mode = BeforeHtml
+      case BeforeHead | InHead | InHeadNoscript | AfterHead =>
+        err("misplaced-doctype", d.start, d.end)
       case InTableText =>
         flushTableText(); mode = originalMode
-        err("misplaced-doctype", d.start, d.end)
-      case Undefined => // dropped, no error (see InsertionMode.Undefined)
-      case _ =>
-        err("misplaced-doctype", d.start, d.end)
+        processDoctype(d)
+      case _ => ()
     }
   }
 
@@ -1145,6 +1158,7 @@ final class TreeBuilder(
   private def processEof(pos: Int): Unit = {
     mode match {
       case Initial =>
+        err("missing-doctype", pos, pos) // beforeToken span of the EOF token
         document.quirksMode = "quirks"
         mode = BeforeHtml; processEof(pos)
       case BeforeHtml =>
@@ -1154,7 +1168,7 @@ final class TreeBuilder(
       case InHead =>
         pop(); mode = AfterHead; processEof(pos)
       case InHeadNoscript =>
-        err("eof-in-head-noscript", pos, pos)
+        err("open-elements-left-after-eof", pos, pos)
         pop(); mode = InHead; processEof(pos)
       case AfterHead =>
         insertFakeElement("body"); mode = InBody; processEof(pos)
@@ -1183,7 +1197,7 @@ final class TreeBuilder(
 
   private def eofInTemplate(pos: Int): Unit = {
     if (!hasTemplateOnStack) { stopped = true; return }
-    err("eof-in-template", pos, pos)
+    ()
     popUntilPopped("template")
     afeClearToLastMarker()
     if (templateModes.nonEmpty) templateModes.remove(templateModes.length - 1)
@@ -1218,7 +1232,7 @@ final class TreeBuilder(
           mode = InTableText
           processChars(data, isWs, start, end)
         } else {
-          err("unexpected-character-in-table", start, end)
+          ()
           fosterParenting = true
           reconstructActiveFormattingElements()
           insertCharacters(data, start, end)
@@ -1234,7 +1248,7 @@ final class TreeBuilder(
           if (current.namespace == Ns.Html && current.tagName == "colgroup") {
             pop(); mode = InTable
             processChars(data, isWs, start, end)
-          } else err("unexpected-char-in-colgroup", start, end)
+          } else ()
         }
       case InSelect | InSelectInTable =>
         insertCharacters(data, start, end)
@@ -1244,20 +1258,20 @@ final class TreeBuilder(
           reconstructActiveFormattingElements()
           insertCharacters(data, start, end)
         } else {
-          err("unexpected-char-after-body", start, end)
+          ()
           mode = InBody
           processChars(data, isWs, start, end)
         }
       case InFrameset | AfterFrameset =>
         if (isWs) insertCharacters(data, start, end)
-        else err("unexpected-char-in-frameset", start, end)
+        else ()
       case AfterAfterFrameset =>
         // whitespace here reprocesses per in-body rules, which reconstructs
         // the active formatting list (spec "after after frameset")
         if (isWs) {
           reconstructActiveFormattingElements()
           insertCharacters(data, start, end)
-        } else err("unexpected-char-in-frameset", start, end)
+        } else ()
       case _ =>
     }
   }
@@ -1266,6 +1280,7 @@ final class TreeBuilder(
   private def anythingElseChars(data: String, start: Int, end: Int): Unit = {
     mode match {
       case Initial =>
+        err("missing-doctype", start, start) // beforeToken span
         document.quirksMode = "quirks"
         mode = BeforeHtml
         anythingElseChars(data, start, end)
@@ -1282,7 +1297,7 @@ final class TreeBuilder(
         mode = AfterHead
         anythingElseChars(data, start, end)
       case InHeadNoscript =>
-        err("unexpected-char-in-noscript", start, end)
+        err("disallowed-content-in-noscript-in-head", start, end)
         pop()
         mode = InHead
         anythingElseChars(data, start, end)
@@ -1301,7 +1316,7 @@ final class TreeBuilder(
       var i = 0
       while (i < pendingTableChars.length) {
         val (d, ws, s, e) = pendingTableChars(i)
-        err("unexpected-character-in-table", s, e)
+        ()
         fosterParenting = true
         reconstructActiveFormattingElements()
         insertCharacters(d, s, e)
@@ -1339,6 +1354,7 @@ final class TreeBuilder(
     }
     mode match {
       case Initial =>
+        err("missing-doctype", tag.start, tag.start) // beforeToken span
         document.quirksMode = "quirks"
         mode = BeforeHtml
         processStartTag(tag)
@@ -1368,12 +1384,13 @@ final class TreeBuilder(
       case InHeadNoscript =>
         tag.name match {
           case "html" => startTagInBody(tag)
-          case "basefont" | "bgsound" | "link" | "meta" | "noframes" | "style" =>
+          case "basefont" | "bgsound" | "head" | "link" | "meta" | "noframes" |
+              "style" =>
             startTagInHead(tag)
-          case "head" | "noscript" =>
-            err("unexpected-start-tag", tag.start, tag.end)
+          case "noscript" =>
+            err("nested-noscript-in-head", tag.start, tag.end)
           case _ =>
-            err("unexpected-start-tag-in-noscript", tag.start, tag.end)
+            err("disallowed-content-in-noscript-in-head", tag.start, tag.end)
             pop(); mode = InHead
             processStartTag(tag)
         }
@@ -1394,7 +1411,7 @@ final class TreeBuilder(
             startTagInHead(tag)
             removeFromStack(headElement)
           case "head" =>
-            err("unexpected-start-tag", tag.start, tag.end)
+            err("misplaced-start-tag-for-head-element", tag.start, tag.end)
           case _ =>
             insertFakeElement("body")
             mode = InBody
@@ -1410,7 +1427,7 @@ final class TreeBuilder(
             if (hasInTableScope("caption")) {
               closeCaption()
               processStartTag(tag)
-            } else err("unexpected-start-tag", tag.start, tag.end)
+            } else ()
           case _ => startTagInBody(tag)
         }
       case InColumnGroup =>
@@ -1424,7 +1441,7 @@ final class TreeBuilder(
             if (current.namespace == Ns.Html && current.tagName == "colgroup") {
               pop(); mode = InTable
               processStartTag(tag)
-            } else err("unexpected-start-tag", tag.start, tag.end)
+            } else ()
         }
       case InTableBody =>
         tag.name match {
@@ -1433,7 +1450,7 @@ final class TreeBuilder(
             insertElement(tag, Ns.Html)
             mode = InRow
           case "th" | "td" =>
-            err("unexpected-cell-in-table-body", tag.start, tag.end)
+            ()
             clearStackBackToTableBodyContext()
             insertFakeElement("tr")
             mode = InRow
@@ -1444,7 +1461,7 @@ final class TreeBuilder(
               pop()
               mode = InTable
               processStartTag(tag)
-            } else err("unexpected-start-tag", tag.start, tag.end)
+            } else ()
           case _ => startTagInTable(tag)
         }
       case InRow =>
@@ -1460,7 +1477,7 @@ final class TreeBuilder(
               pop()
               mode = InTableBody
               processStartTag(tag)
-            } else err("unexpected-start-tag", tag.start, tag.end)
+            } else ()
           case _ => startTagInTable(tag)
         }
       case InCell =>
@@ -1470,7 +1487,7 @@ final class TreeBuilder(
             if (hasAnyInTableScope(Set("td", "th"))) {
               closeCell()
               processStartTag(tag)
-            } else err("unexpected-start-tag", tag.start, tag.end)
+            } else ()
           case _ => startTagInBody(tag)
         }
       case InSelect        => startTagInSelect(tag)
@@ -1478,7 +1495,7 @@ final class TreeBuilder(
         tag.name match {
           case "caption" | "table" | "tbody" | "tfoot" | "thead" | "tr" | "td" |
               "th" =>
-            err("unexpected-table-element-in-select", tag.start, tag.end)
+            ()
             popUntilPopped("select")
             resetInsertionMode()
             processStartTag(tag)
@@ -1518,7 +1535,7 @@ final class TreeBuilder(
       case AfterBody =>
         if (tag.name == "html") startTagInBody(tag)
         else {
-          err("unexpected-start-tag-after-body", tag.start, tag.end)
+          ()
           mode = InBody
           processStartTag(tag)
         }
@@ -1530,18 +1547,18 @@ final class TreeBuilder(
             appendElement(tag, Ns.Html)
             tag.ackSelfClosing = true
           case "noframes" => startTagInHead(tag)
-          case _          => err("unexpected-start-tag", tag.start, tag.end)
+          case _          => ()
         }
       case AfterFrameset =>
         tag.name match {
           case "html"     => startTagInBody(tag)
           case "noframes" => startTagInHead(tag)
-          case _          => err("unexpected-start-tag", tag.start, tag.end)
+          case _          => ()
         }
       case AfterAfterBody =>
         if (tag.name == "html") startTagInBody(tag)
         else {
-          err("unexpected-start-tag", tag.start, tag.end)
+          ()
           mode = InBody
           processStartTag(tag)
         }
@@ -1549,7 +1566,7 @@ final class TreeBuilder(
         tag.name match {
           case "html"     => startTagInBody(tag)
           case "noframes" => startTagInHead(tag)
-          case _          => err("unexpected-start-tag", tag.start, tag.end)
+          case _          => ()
         }
       case _ =>
     }
@@ -1577,7 +1594,7 @@ final class TreeBuilder(
         mode = InTemplate
         templateModes += InTemplate
       case "head" =>
-        err("unexpected-start-tag", tag.start, tag.end)
+        err("misplaced-start-tag-for-head-element", tag.start, tag.end)
       case _ =>
         pop()
         mode = AfterHead
@@ -1611,7 +1628,7 @@ final class TreeBuilder(
         mode = InTableBody
         processStartTag(tag)
       case "table" =>
-        err("unexpected-table-in-table", tag.start, tag.end)
+        ()
         if (hasInTableScope("table")) {
           popUntilPopped("table")
           resetInsertionMode()
@@ -1621,12 +1638,12 @@ final class TreeBuilder(
       case "input" =>
         val ty = tag.attr("type")
         if (ty != null && ty.equalsIgnoreCase("hidden")) {
-          err("unexpected-hidden-input-in-table", tag.start, tag.end)
+          ()
           appendElement(tag, Ns.Html)
           tag.ackSelfClosing = true
         } else anythingElseInTable(tag)
       case "form" =>
-        err("unexpected-form-in-table", tag.start, tag.end)
+        ()
         if (formElement == null && !hasTemplateOnStack) {
           formElement = insertElement(tag, Ns.Html)
           pop()
@@ -1636,7 +1653,7 @@ final class TreeBuilder(
   }
 
   private def anythingElseInTable(tag: TagToken): Unit = {
-    err("unexpected-start-tag-implies-foster-parenting", tag.start, tag.end)
+    ()
     fosterParenting = true
     startTagInBody(tag)
     fosterParenting = false
@@ -1658,21 +1675,21 @@ final class TreeBuilder(
         appendElement(tag, Ns.Html)
         tag.ackSelfClosing = true
       case "input" | "keygen" | "textarea" | "select" =>
-        err("unexpected-start-tag-in-select", tag.start, tag.end)
+        ()
         if (hasInSelectScope("select")) {
           popUntilPopped("select")
           resetInsertionMode()
           if (tag.name != "select") processStartTag(tag)
         }
       case "script" | "template" => startTagInHead(tag)
-      case _                     => err("unexpected-start-tag-in-select", tag.start, tag.end)
+      case _                     => ()
     }
   }
 
   private def closePElement(): Unit = {
     generateImpliedEndTags("p")
     if (!(current.namespace == Ns.Html && current.tagName == "p"))
-      err("unclosed-elements-on-p-close", curTokStart, curTokEnd)
+      ()
     popUntilPopped("p")
   }
 
@@ -1682,7 +1699,7 @@ final class TreeBuilder(
   private def closeCaption(): Unit = {
     generateImpliedEndTags(null)
     if (!(current.namespace == Ns.Html && current.tagName == "caption"))
-      err("unclosed-elements", curTokStart, curTokEnd)
+      ()
     popUntilPopped("caption")
     afeClearToLastMarker()
     mode = InTable
@@ -1692,7 +1709,7 @@ final class TreeBuilder(
     generateImpliedEndTags(null)
     if (!(current.namespace == Ns.Html &&
       (current.tagName == "td" || current.tagName == "th")))
-      err("unclosed-elements-in-cell", curTokStart, curTokEnd)
+      ()
     popUntilOneOfPopped(Set("td", "th"))
     afeClearToLastMarker()
     mode = InRow
@@ -1703,7 +1720,7 @@ final class TreeBuilder(
   private def startTagInBody(tag: TagToken): Unit = {
     tag.name match {
       case "html" =>
-        err("unexpected-html-start-tag", tag.start, tag.end)
+        ()
         if (!hasTemplateOnStack && stack.nonEmpty) mergeAttrsInto(stack(0), tag)
 
       case "base" | "basefont" | "bgsound" | "link" | "meta" | "noframes" |
@@ -1711,7 +1728,7 @@ final class TreeBuilder(
         startTagInHead(tag)
 
       case "body" =>
-        err("unexpected-body-start-tag", tag.start, tag.end)
+        ()
         if (stack.length > 1 && stack(1).namespace == Ns.Html &&
           stack(1).tagName == "body" && !hasTemplateOnStack) {
           framesetOk = false
@@ -1719,7 +1736,7 @@ final class TreeBuilder(
         }
 
       case "frameset" =>
-        err("unexpected-frameset-start-tag", tag.start, tag.end)
+        ()
         if (stack.length > 1 && stack(1).namespace == Ns.Html &&
           stack(1).tagName == "body" && framesetOk) {
           val body = stack(1)
@@ -1739,7 +1756,7 @@ final class TreeBuilder(
       case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
         closePIfInButtonScope()
         if (current.namespace == Ns.Html && HtmlMeta.Headings.contains(current.tagName)) {
-          err("unexpected-heading-in-heading", tag.start, tag.end)
+          ()
           pop()
         }
         insertElement(tag, Ns.Html)
@@ -1752,7 +1769,7 @@ final class TreeBuilder(
 
       case "form" =>
         if (formElement != null && !hasTemplateOnStack)
-          err("unexpected-form-start-tag", tag.start, tag.end)
+          ()
         else {
           closePIfInButtonScope()
           val el = insertElement(tag, Ns.Html)
@@ -1768,7 +1785,7 @@ final class TreeBuilder(
           if (node.namespace == Ns.Html && node.tagName == "li") {
             generateImpliedEndTags("li")
             if (!(current.namespace == Ns.Html && current.tagName == "li"))
-              err("unclosed-elements", tag.start, tag.end)
+              ()
             popUntilPopped("li")
             done = true
           } else if (isSpecialEl(node) &&
@@ -1790,7 +1807,7 @@ final class TreeBuilder(
             (node.tagName == "dd" || node.tagName == "dt")) {
             generateImpliedEndTags(node.tagName)
             if (!(current.namespace == Ns.Html && current.tagName == node.tagName))
-              err("unclosed-elements", tag.start, tag.end)
+              ()
             popUntilPopped(node.tagName)
             done = true
           } else if (isSpecialEl(node) &&
@@ -1809,7 +1826,7 @@ final class TreeBuilder(
 
       case "button" =>
         if (hasInScope("button")) {
-          err("unexpected-button-in-button", tag.start, tag.end)
+          ()
           generateImpliedEndTags(null)
           popUntilPopped("button")
         }
@@ -1820,7 +1837,7 @@ final class TreeBuilder(
       case "a" =>
         val existing = afeEntryAfterMarker("a")
         if (existing != null) {
-          err("unexpected-a-in-a", tag.start, tag.end)
+          ()
           adoptionAgency("a")
           if (existing.element != null) {
             afeRemove(existing.element)
@@ -1840,7 +1857,7 @@ final class TreeBuilder(
       case "nobr" =>
         reconstructActiveFormattingElements()
         if (hasInScope("nobr")) {
-          err("unexpected-nobr-in-nobr", tag.start, tag.end)
+          ()
           adoptionAgency("nobr")
           reconstructActiveFormattingElements()
         }
@@ -1883,7 +1900,7 @@ final class TreeBuilder(
         framesetOk = false
 
       case "image" =>
-        err("image-start-tag", tag.start, tag.end)
+        ()
         tag.name = "img"
         startTagInBody(tag)
 
@@ -1929,7 +1946,7 @@ final class TreeBuilder(
         if (hasInScope("ruby")) {
           generateImpliedEndTags(null)
           if (!(current.namespace == Ns.Html && current.tagName == "ruby"))
-            err("unexpected-start-tag-in-ruby", tag.start, tag.end)
+            ()
         }
         insertElement(tag, Ns.Html)
 
@@ -1938,7 +1955,7 @@ final class TreeBuilder(
           generateImpliedEndTags("rtc")
           if (!(current.namespace == Ns.Html &&
             (current.tagName == "ruby" || current.tagName == "rtc")))
-            err("unexpected-start-tag-in-ruby", tag.start, tag.end)
+            ()
         }
         insertElement(tag, Ns.Html)
 
@@ -1956,7 +1973,7 @@ final class TreeBuilder(
 
       case "caption" | "col" | "colgroup" | "frame" | "head" | "tbody" | "td" |
           "tfoot" | "th" | "thead" | "tr" =>
-        err("unexpected-start-tag-ignored", tag.start, tag.end)
+        ()
 
       case _ =>
         reconstructActiveFormattingElements()
@@ -1985,6 +2002,7 @@ final class TreeBuilder(
     }
     mode match {
       case Initial =>
+        err("missing-doctype", tag.start, tag.start) // beforeToken span
         document.quirksMode = "quirks"
         mode = BeforeHtml
         processEndTag(tag)
@@ -1994,7 +2012,7 @@ final class TreeBuilder(
             insertHtmlRoot()
             mode = BeforeHead
             processEndTag(tag)
-          case _ => err("unexpected-end-tag", tag.start, tag.end)
+          case _ => () // parse5 endTagBeforeHtml: silently ignored
         }
       case BeforeHead =>
         tag.name match {
@@ -2002,7 +2020,7 @@ final class TreeBuilder(
             headElement = insertFakeElement("head")
             mode = InHead
             processEndTag(tag)
-          case _ => err("unexpected-end-tag", tag.start, tag.end)
+          case _ => err("end-tag-without-matching-open-element", tag.start, tag.end)
         }
       case InHead =>
         tag.name match {
@@ -2014,7 +2032,7 @@ final class TreeBuilder(
             mode = AfterHead
             processEndTag(tag)
           case "template" => endTagTemplate(tag)
-          case _          => err("unexpected-end-tag", tag.start, tag.end)
+          case _          => err("end-tag-without-matching-open-element", tag.start, tag.end)
         }
       case InHeadNoscript =>
         tag.name match {
@@ -2022,11 +2040,11 @@ final class TreeBuilder(
             pop()
             mode = InHead
           case "br" =>
-            err("unexpected-end-tag-in-noscript", tag.start, tag.end)
+            err("disallowed-content-in-noscript-in-head", tag.start, tag.end)
             pop()
             mode = InHead
             processEndTag(tag)
-          case _ => err("unexpected-end-tag", tag.start, tag.end)
+          case _ => err("end-tag-without-matching-open-element", tag.start, tag.end)
         }
       case AfterHead =>
         tag.name match {
@@ -2035,7 +2053,7 @@ final class TreeBuilder(
             mode = InBody
             processEndTag(tag)
           case "template" => endTagTemplate(tag)
-          case _          => err("unexpected-end-tag", tag.start, tag.end)
+          case _          => err("end-tag-without-matching-open-element", tag.start, tag.end)
         }
       case InBody => endTagInBody(tag)
       case Text =>
@@ -2046,15 +2064,15 @@ final class TreeBuilder(
         tag.name match {
           case "caption" =>
             if (hasInTableScope("caption")) closeCaption()
-            else err("unexpected-end-tag", tag.start, tag.end)
+            else ()
           case "table" =>
             if (hasInTableScope("caption")) {
               closeCaption()
               processEndTag(tag)
-            } else err("unexpected-end-tag", tag.start, tag.end)
+            } else ()
           case "body" | "col" | "colgroup" | "html" | "tbody" | "td" | "tfoot" |
               "th" | "thead" | "tr" =>
-            err("unexpected-end-tag", tag.start, tag.end)
+            ()
           case _ => endTagInBody(tag)
         }
       case InColumnGroup =>
@@ -2063,16 +2081,16 @@ final class TreeBuilder(
             if (current.namespace == Ns.Html && current.tagName == "colgroup") {
               pop()
               mode = InTable
-            } else err("unexpected-end-tag", tag.start, tag.end)
+            } else ()
           case "col" =>
-            err("unexpected-end-tag", tag.start, tag.end)
+            ()
           case "template" => endTagTemplate(tag)
           case _ =>
             if (current.namespace == Ns.Html && current.tagName == "colgroup") {
               pop()
               mode = InTable
               processEndTag(tag)
-            } else err("unexpected-end-tag", tag.start, tag.end)
+            } else ()
         }
       case InTableBody =>
         tag.name match {
@@ -2081,17 +2099,17 @@ final class TreeBuilder(
               clearStackBackToTableBodyContext()
               pop()
               mode = InTable
-            } else err("unexpected-end-tag", tag.start, tag.end)
+            } else ()
           case "table" =>
             if (hasAnyInTableScope(Set("tbody", "thead", "tfoot"))) {
               clearStackBackToTableBodyContext()
               pop()
               mode = InTable
               processEndTag(tag)
-            } else err("unexpected-end-tag", tag.start, tag.end)
+            } else ()
           case "body" | "caption" | "col" | "colgroup" | "html" | "td" | "th" |
               "tr" =>
-            err("unexpected-end-tag", tag.start, tag.end)
+            ()
           case _ => endTagInTable(tag)
         }
       case InRow =>
@@ -2101,14 +2119,14 @@ final class TreeBuilder(
               clearStackBackToTableRowContext()
               pop()
               mode = InTableBody
-            } else err("unexpected-end-tag", tag.start, tag.end)
+            } else ()
           case "table" =>
             if (hasInTableScope("tr")) {
               clearStackBackToTableRowContext()
               pop()
               mode = InTableBody
               processEndTag(tag)
-            } else err("unexpected-end-tag", tag.start, tag.end)
+            } else ()
           case "tbody" | "tfoot" | "thead" =>
             if (hasInTableScope(tag.name)) {
               if (hasInTableScope("tr")) {
@@ -2117,9 +2135,9 @@ final class TreeBuilder(
                 mode = InTableBody
                 processEndTag(tag)
               }
-            } else err("unexpected-end-tag", tag.start, tag.end)
+            } else ()
           case "body" | "caption" | "col" | "colgroup" | "html" | "td" | "th" =>
-            err("unexpected-end-tag", tag.start, tag.end)
+            ()
           case _ => endTagInTable(tag)
         }
       case InCell =>
@@ -2128,18 +2146,18 @@ final class TreeBuilder(
             if (hasInTableScope(tag.name)) {
               generateImpliedEndTags(null)
               if (!(current.namespace == Ns.Html && current.tagName == tag.name))
-                err("unclosed-elements-in-cell", tag.start, tag.end)
+                ()
               popUntilPopped(tag.name)
               afeClearToLastMarker()
               mode = InRow
-            } else err("unexpected-end-tag", tag.start, tag.end)
+            } else ()
           case "body" | "caption" | "col" | "colgroup" | "html" =>
-            err("unexpected-end-tag", tag.start, tag.end)
+            ()
           case "table" | "tbody" | "tfoot" | "thead" | "tr" =>
             if (hasInTableScope(tag.name)) {
               closeCell()
               processEndTag(tag)
-            } else err("unexpected-end-tag", tag.start, tag.end)
+            } else ()
           case _ => endTagInBody(tag)
         }
       case InSelect => endTagInSelect(tag)
@@ -2147,7 +2165,7 @@ final class TreeBuilder(
         tag.name match {
           case "caption" | "table" | "tbody" | "tfoot" | "thead" | "tr" | "td" |
               "th" =>
-            err("unexpected-table-end-tag-in-select", tag.start, tag.end)
+            ()
             if (hasInTableScope(tag.name)) {
               popUntilPopped("select")
               resetInsertionMode()
@@ -2157,11 +2175,11 @@ final class TreeBuilder(
         }
       case InTemplate =>
         if (tag.name == "template") endTagTemplate(tag)
-        else err("unexpected-end-tag", tag.start, tag.end)
+        else ()
       case AfterBody =>
         if (tag.name == "html") {
           if (fragmentContext != null)
-            err("unexpected-end-tag-after-body", tag.start, tag.end)
+            ()
           else mode = AfterAfterBody
           // parse5 endTagAfterBody: <html> is never popped — update its end
           // location, and <body>'s unless body saw its own matching end tag
@@ -2175,45 +2193,45 @@ final class TreeBuilder(
             }
           }
         } else {
-          err("unexpected-end-tag-after-body", tag.start, tag.end)
+          ()
           mode = InBody
           processEndTag(tag)
         }
       case InFrameset =>
         tag.name match {
           case "frameset" =>
-            if (stack.length == 1) err("unexpected-frameset-end-tag", tag.start, tag.end)
+            if (stack.length == 1) ()
             else {
               pop()
               if (fragmentContext == null &&
                 !(current.namespace == Ns.Html && current.tagName == "frameset"))
                 mode = AfterFrameset
             }
-          case _ => err("unexpected-end-tag", tag.start, tag.end)
+          case _ => ()
         }
       case AfterFrameset =>
         if (tag.name == "html") mode = AfterAfterFrameset
-        else err("unexpected-end-tag", tag.start, tag.end)
+        else ()
       case AfterAfterBody =>
-        err("unexpected-end-tag", tag.start, tag.end)
+        ()
         mode = InBody
         processEndTag(tag)
       case AfterAfterFrameset =>
-        err("unexpected-end-tag", tag.start, tag.end)
+        ()
       case _ =>
     }
   }
 
   private def endTagTemplate(tag: TagToken): Unit = {
     if (!hasTemplateOnStack) {
-      err("unexpected-template-end-tag", tag.start, tag.end)
+      err("end-tag-without-matching-open-element", tag.start, tag.end)
       return
     }
     // a matched </template> is NOT a parse error (spec §13.2.6.4.7;
     // reference templateEndTagInHead errs only on unmatched/open-children)
     generateImpliedEndTagsThoroughly()
     if (!(current.namespace == Ns.Html && current.tagName == "template"))
-      err("unclosed-elements", tag.start, tag.end)
+      err("closing-of-element-with-open-child-elements", tag.start, tag.end)
     popUntilPopped("template")
     afeClearToLastMarker()
     if (templateModes.nonEmpty) templateModes.remove(templateModes.length - 1)
@@ -2226,13 +2244,13 @@ final class TreeBuilder(
         if (hasInTableScope("table")) {
           popUntilPopped("table")
           resetInsertionMode()
-        } else err("unexpected-end-tag", tag.start, tag.end)
+        } else ()
       case "body" | "caption" | "col" | "colgroup" | "html" | "tbody" | "td" |
           "tfoot" | "th" | "thead" | "tr" =>
-        err("unexpected-end-tag", tag.start, tag.end)
+        ()
       case "template" => endTagTemplate(tag)
       case _ =>
-        err("unexpected-end-tag-implies-foster-parenting", tag.start, tag.end)
+        ()
         fosterParenting = true
         endTagInBody(tag)
         fosterParenting = false
@@ -2246,17 +2264,17 @@ final class TreeBuilder(
           stack.length > 1 && stack(stack.length - 2).namespace == Ns.Html &&
           stack(stack.length - 2).tagName == "optgroup") pop()
         if (current.namespace == Ns.Html && current.tagName == "optgroup") pop()
-        else err("unexpected-end-tag-in-select", tag.start, tag.end)
+        else ()
       case "option" =>
         if (current.namespace == Ns.Html && current.tagName == "option") pop()
-        else err("unexpected-end-tag-in-select", tag.start, tag.end)
+        else ()
       case "select" =>
         if (hasInSelectScope("select")) {
           popUntilPopped("select")
           resetInsertionMode()
-        } else err("unexpected-end-tag-in-select", tag.start, tag.end)
+        } else ()
       case "template" => endTagTemplate(tag)
-      case _          => err("unexpected-end-tag-in-select", tag.start, tag.end)
+      case _          => ()
     }
   }
 
@@ -2264,7 +2282,7 @@ final class TreeBuilder(
     tag.name match {
       case "template" => endTagTemplate(tag)
       case "body" =>
-        if (!hasInScope("body")) err("unexpected-body-end-tag", tag.start, tag.end)
+        if (!hasInScope("body")) ()
         else {
           mode = AfterBody
           // parse5 bodyEndTagInBody: <body> is never popped, so its end
@@ -2275,7 +2293,7 @@ final class TreeBuilder(
           }
         }
       case "html" =>
-        if (!hasInScope("body")) err("unexpected-html-end-tag", tag.start, tag.end)
+        if (!hasInScope("body")) ()
         else {
           mode = AfterBody
           processEndTag(tag)
@@ -2284,11 +2302,11 @@ final class TreeBuilder(
           "center" | "details" | "dialog" | "dir" | "div" | "dl" | "fieldset" |
           "figcaption" | "figure" | "footer" | "header" | "hgroup" | "listing" |
           "main" | "menu" | "nav" | "ol" | "pre" | "section" | "summary" | "ul" =>
-        if (!hasInScope(tag.name)) err("unexpected-end-tag", tag.start, tag.end)
+        if (!hasInScope(tag.name)) ()
         else {
           generateImpliedEndTags(null)
           if (!(current.namespace == Ns.Html && current.tagName == tag.name))
-            err("unclosed-elements", tag.start, tag.end)
+            ()
           popUntilPopped(tag.name)
         }
       case "form" =>
@@ -2296,67 +2314,67 @@ final class TreeBuilder(
           val node = formElement
           formElement = null
           if (node == null || !hasElementInScope(node)) {
-            err("unexpected-form-end-tag", tag.start, tag.end)
+            ()
             return
           }
           generateImpliedEndTags(null)
-          if (!(current eq node)) err("unclosed-elements", tag.start, tag.end)
+          if (!(current eq node)) ()
           removeFromStack(node)
         } else {
           if (!hasInScope("form")) {
-            err("unexpected-form-end-tag", tag.start, tag.end)
+            ()
             return
           }
           generateImpliedEndTags(null)
           if (!(current.namespace == Ns.Html && current.tagName == "form"))
-            err("unclosed-elements", tag.start, tag.end)
+            ()
           popUntilPopped("form")
         }
       case "p" =>
         if (!hasInButtonScope("p")) {
-          err("unexpected-p-end-tag", tag.start, tag.end)
+          ()
           insertFakeElement("p")
         }
         closePElement()
       case "li" =>
-        if (!hasInListItemScope("li")) err("unexpected-li-end-tag", tag.start, tag.end)
+        if (!hasInListItemScope("li")) ()
         else {
           generateImpliedEndTags("li")
           if (!(current.namespace == Ns.Html && current.tagName == "li"))
-            err("unclosed-elements", tag.start, tag.end)
+            ()
           popUntilPopped("li")
         }
       case "dd" | "dt" =>
-        if (!hasInScope(tag.name)) err("unexpected-end-tag", tag.start, tag.end)
+        if (!hasInScope(tag.name)) ()
         else {
           generateImpliedEndTags(tag.name)
           if (!(current.namespace == Ns.Html && current.tagName == tag.name))
-            err("unclosed-elements", tag.start, tag.end)
+            ()
           popUntilPopped(tag.name)
         }
       case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
         if (!hasAnyInScope(HtmlMeta.Headings))
-          err("unexpected-heading-end-tag", tag.start, tag.end)
+          ()
         else {
           generateImpliedEndTags(null)
           if (!(current.namespace == Ns.Html && current.tagName == tag.name))
-            err("unclosed-elements", tag.start, tag.end)
+            ()
           popUntilOneOfPopped(HtmlMeta.Headings)
         }
       case "a" | "b" | "big" | "code" | "em" | "font" | "i" | "nobr" | "s" |
           "small" | "strike" | "strong" | "tt" | "u" =>
         adoptionAgency(tag.name)
       case "applet" | "marquee" | "object" =>
-        if (!hasInScope(tag.name)) err("unexpected-end-tag", tag.start, tag.end)
+        if (!hasInScope(tag.name)) ()
         else {
           generateImpliedEndTags(null)
           if (!(current.namespace == Ns.Html && current.tagName == tag.name))
-            err("unclosed-elements", tag.start, tag.end)
+            ()
           popUntilPopped(tag.name)
           afeClearToLastMarker()
         }
       case "br" =>
-        err("unexpected-br-end-tag", tag.start, tag.end)
+        ()
         reconstructActiveFormattingElements()
         insertFakeElement("br")
         pop()
@@ -2370,7 +2388,7 @@ final class TreeBuilder(
   // foreign content (spec §13.2.6.5)
   private def foreignStartTag(tag: TagToken): Unit = {
     if (HtmlMeta.causesForeignExit(tag)) {
-      err("unexpected-html-element-in-foreign-content", tag.start, tag.end)
+      ()
       while ({
         val acn = current
         !(acn.namespace == Ns.Html ||
@@ -2423,7 +2441,7 @@ final class TreeBuilder(
     }
     var i = stack.length - 1
     if (i >= 0 && stack(i).tagName.toLowerCase != tag.name)
-      err("unexpected-end-tag", tag.start, tag.end)
+      ()
     var done = false
     while (i >= 0 && !done) {
       val node = stack(i)
