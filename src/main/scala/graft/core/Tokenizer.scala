@@ -320,7 +320,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
     var p = pos
     while (p < len) {
       val ch = input.charAt(p)
-      if ((ch < 0x20 && ch != 0x09 && ch != 0x0a) || ch >= 0x7f)
+      if (((ch - 0x20) & 0xffff) >= 0x5f && ch != 0x09 && ch != 0x0a)
         validateInputCharAt(ch, p)
       if ((stopAmp && ch == '&') || (stopLt && ch == '<') ||
           ch == '\u0000' || ch == '\r') {
@@ -353,7 +353,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
     var p = pos
     while (p < len) {
       val ch = input.charAt(p)
-      if ((ch < 0x20 && ch != 0x09 && ch != 0x0a) || ch >= 0x7f)
+      if (((ch - 0x20) & 0xffff) >= 0x5f && ch != 0x09 && ch != 0x0a)
         validateInputCharAt(ch, p)
       if ((ch < 64 && ((m0 >>> ch) & 1L) != 0) ||
           (ch >= 64 && ch < 128 && ((m1 >>> (ch - 64)) & 1L) != 0) ||

@@ -1036,7 +1036,9 @@ final class TreeBuilder(
   override def onStartTag(tag: TagToken): Unit = {
     if (stopped) return
     curTokStart = tag.start; curTokEnd = tag.end; curTokEndTagName = null
-    locTokStart = tag.start; locTokEnd = tag.end; locTokEndTagName = null
+    if (captureSpans) {
+      locTokStart = tag.start; locTokEnd = tag.end; locTokEndTagName = null
+    }
     setTokContext("START_TAG", tag.name)
     ignoreNextLf = false
     if (useForeignRules(isStartTag = true, isChar = false, tag.name))
@@ -1050,7 +1052,9 @@ final class TreeBuilder(
   override def onEndTag(tag: TagToken): Unit = {
     if (stopped) return
     curTokStart = tag.start; curTokEnd = tag.end; curTokEndTagName = tag.name
-    locTokStart = tag.start; locTokEnd = tag.end; locTokEndTagName = tag.name
+    if (captureSpans) {
+      locTokStart = tag.start; locTokEnd = tag.end; locTokEndTagName = tag.name
+    }
     setTokContext("END_TAG", tag.name)
     ignoreNextLf = false
     if (useForeignRules(isStartTag = false, isChar = false, tag.name))
