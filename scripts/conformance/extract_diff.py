@@ -190,6 +190,8 @@ def corpus():
             "</body></body>", "</html></html>", "</head></head>",
             "<template></template></template>", "<template><td>",
             "text\x00text", "<b>\x00</b>", "<svg>\x00</svg>", "<title>\x00</title>",
+            "<svg>\x00\x00</svg>", "<svg>a\x00\x00b</svg>", "<svg>\x00\x00",
+            "<math>\x00\x00<mi>m</mi></math>", "\x00\x00",
             "<textarea>\x00", "<style>\x00</style>", "<!--\x00-->", "<b a\x00=1>",
             "<b a='\x00'>", "<b\x00c=1>", "<!DOCTYPE ht\x00ml>",
             "x<3", "x<=", "a<>b", "<p", "</p", "<p a", "<p a='x",

@@ -94,7 +94,8 @@ object TokenizeApi {
 
     override def onChars(data: String, start: Int, end: Int): Unit = pushChars(data)
     override def onWhitespace(data: String, start: Int, end: Int): Unit = pushChars(data)
-    override def onNull(start: Int): Unit = pushChars("\u0000")
+    override def onNull(start: Int, end: Int, count: Int): Unit =
+      pushChars("\u0000" * count)
     override def onStartTag(tag: TagToken): Unit =
       tokens += StartTagTok(
         tag.name,

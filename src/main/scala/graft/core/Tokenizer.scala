@@ -242,14 +242,49 @@ final class Tokenizer(input: String, sink: TokenSink) {
     * at the position just past the consumed reference). */
   private def errAt(code: String, at: Int): Unit = sink.onParseError(code, at, at)
 
+  // Entity errors other than absence-of-digits fire AFTER the decoded code
+  // points are appended (parse5 emitNumericEntity / ambiguous-ampersand:
+  // emit first, then missing-semicolon, then validation) — the append can
+  // flush a pending NULL/char token whose parser-side errors must precede
+  // the entity's own. Up to two can defer (missing-semicolon + validation).
+  private var entErr1Code: String = null
+  private var entErr1At = 0
+  private var entErr2Code: String = null
+  private var entErr2At = 0
+
+  private def deferEntErr(code: String, at: Int): Unit =
+    if (entErr1Code == null) { entErr1Code = code; entErr1At = at }
+    else { entErr2Code = code; entErr2At = at }
+
+  private def fireEntErrs(): Unit = {
+    if (entErr1Code != null) { errAt(entErr1Code, entErr1At); entErr1Code = null }
+    if (entErr2Code != null) { errAt(entErr2Code, entErr2At); entErr2Code = null }
+  }
+
   // --- char run emission ---
+  // pending NULL run (parse5 batches consecutive NULs into one
+  // NULL_CHARACTER token that stays pending across dropped constructs)
+  private var nullStart = -1
+  private var nullCount = 0
+
+  private def flushNullRun(endAt: Int): Unit = {
+    if (nullStart >= 0) {
+      sink.onNull(nullStart, endAt, nullCount)
+      nullStart = -1
+      nullCount = 0
+      runAnchor = endAt
+    }
+  }
+
   private def emitChar(c: Char): Unit = {
     if (c == '\u0000') {
-      flushChars()
-      sink.onNull(curStart)
-      runAnchor = curStart + 1
+      if (charBuf.nonEmpty) { charEnd = curStart; flushChars(); runAnchor = curStart }
+      // the NULL token starts at the anchor, like any new pending token
+      if (nullStart < 0) nullStart = runAnchor
+      nullCount += 1
       return
     }
+    flushNullRun(curStart)
     val ws = isWsChar(c)
     if (charStart < 0) { charStart = runAnchor; charIsWs = ws }
     else if (ws != charIsWs) {
@@ -274,6 +309,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
     */
   private def emitDecoded(s: String, srcStart: Int, srcEnd: Int): Unit = {
     val at = srcEnd - 1
+    flushNullRun(at)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -478,6 +514,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
     tag.end = pos
     // parse5 prepareToken: the pending character token's end is rewritten to
     // the emitted token's START (covers dropped constructs in between)
+    flushNullRun(tag.start)
     if (charBuf.nonEmpty) charEnd = tag.start
     flushChars()
     runAnchor = pos
@@ -493,6 +530,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
   }
 
   private def emitComment(): Unit = {
+    flushNullRun(tokenStart)
     if (charBuf.nonEmpty) charEnd = tokenStart
     flushChars()
     runAnchor = pos
@@ -502,6 +540,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
 
   private def emitDoctype(): Unit = {
     doctype.end = pos
+    flushNullRun(doctype.start)
     if (charBuf.nonEmpty) charEnd = doctype.start
     flushChars()
     runAnchor = pos
@@ -514,6 +553,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
     // EOF token's (= input length), so text truncated by a discarded partial
     // construct at EOF spans through it (tokenizer _emitEOFToken +
     // _emitCurrentCharacterToken end-rewrite)
+    flushNullRun(len)
     if (charBuf.nonEmpty) charEnd = len
     flushChars()
     sink.onEof(len)
@@ -572,7 +612,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
       pos = p
       // parse5 emitNumericEntity order: emit, then missing-semicolon, then
       // numeric validation — all at the position past the full reference
-      if (!hasSemi) errAt("missing-semicolon-after-character-reference", p)
+      if (!hasSemi) deferEntErr("missing-semicolon-after-character-reference", p)
       val verr =
         if (value == 0) "null-character-reference"
         else if (value > 0x10FFFF) "character-reference-outside-unicode-range"
@@ -583,7 +623,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
             value != 0x0C) || (value >= 0x7F && value <= 0x9F))
           "control-character-reference"
         else null
-      if (verr != null) errAt(verr, p)
+      if (verr != null) deferEntErr(verr, p)
       val cp = Entities.replaceNumeric(value)
       val sb = new StringBuilder(2)
       Entities.appendCodePoint(sb, cp)
@@ -599,7 +639,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
           var q = pos
           while (q < len && isAsciiAlnum(input.charAt(q))) q += 1
           if (q > pos && q < len && input.charAt(q) == ';')
-            errAt("unknown-named-character-reference", q)
+            deferEntErr("unknown-named-character-reference", q)
         }
         return null
       }
@@ -610,7 +650,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
         if (next == '=' || isAsciiAlnum(next)) return null
       }
       if (!endsWithSemi)
-        errAt("missing-semicolon-after-character-reference", pos + nameLen)
+        deferEntErr("missing-semicolon-after-character-reference", pos + nameLen)
       pos += nameLen
       replacement
     } else null
@@ -621,12 +661,14 @@ final class Tokenizer(input: String, sink: TokenSink) {
     val decoded = consumeCharRef(inAttribute = false)
     if (decoded == null) emitChar('&')
     else emitDecoded(decoded, ampStart, pos)
+    fireEntErrs()
   }
 
   private def attrCharRef(): Unit = {
     val decoded = consumeCharRef(inAttribute = true)
     if (decoded == null) attrValueBuf.append('&')
     else attrValueBuf.append(decoded)
+    fireEntErrs()
   }
 
   /** Case-insensitive lookahead match that consumes on success. */

@@ -47,8 +47,12 @@ trait TokenSink {
   def onChars(data: String, start: Int, end: Int): Unit
   /** ASCII-whitespace-only character run. */
   def onWhitespace(data: String, start: Int, end: Int): Unit
-  /** A single U+0000 character. */
-  def onNull(start: Int): Unit
+  /** A run of U+0000 characters batched into ONE token (parse5
+    * NULL_CHARACTER pending-token semantics: the run stays pending across
+    * dropped constructs and flushes at the next char/token boundary, whose
+    * position is `end`); `count` is the number of NULs in the run.
+    */
+  def onNull(start: Int, end: Int, count: Int): Unit
   def onStartTag(tag: TagToken): Unit
   def onEndTag(tag: TagToken): Unit
   def onComment(data: String, start: Int, end: Int): Unit

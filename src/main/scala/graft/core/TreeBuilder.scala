@@ -511,7 +511,8 @@ final class TreeBuilder(
     el
   }
 
-  private def insertCharacters(data: String, start: Int, end: Int): Unit = {
+  /** Insert (or merge) character data; returns the text node touched. */
+  private def insertCharacters(data: String, start: Int, end: Int): DomText = {
     val loc = insertionLocation(null)
     val (parent, before) = loc
     // merge with an existing preceding text node
@@ -526,10 +527,12 @@ final class TreeBuilder(
       case t: DomText =>
         t.value.append(data)
         if (captureSpans && end >= 0) t.endOffset = end
+        t
       case _ =>
         val t = new DomText(new java.lang.StringBuilder(data))
         if (captureSpans) { t.startOffset = start; t.endOffset = end }
         insertNodeAt(loc, t)
+        t
     }
   }
 
@@ -953,28 +956,19 @@ final class TreeBuilder(
     } else processChars(data, isWs = true, start, end)
   }
 
-  private var lastNullEnd = -1
-
-  override def onNull(start: Int): Unit = {
+  /** One call per batched NULL_CHARACTER token (the tokenizer accumulates
+    * the whole run, parse5-style): foreign content replaces the run with a
+    * single U+FFFD spanning the full token, and the mode machine fires once.
+    */
+  override def onNull(start: Int, end: Int, count: Int): Unit = {
     if (stopped) return
-    // the reference's tokenizer accumulates CONSECUTIVE NULs into ONE
-    // NULL_CHARACTER token (same-type character-token batching), so the
-    // parser dispatches once per run: foreign content replaces the whole
-    // run with a single U+FFFD (and errs once), and the mode machine fires
-    // once. Input positions are strictly consumed by every token, so
-    // "previous event was the NUL ending exactly here" identifies a run.
-    val adjacent = start == lastNullEnd
-    lastNullEnd = start + 1
-    if (adjacent) return
-    curTokStart = start; curTokEnd = start + 1; curTokEndTagName = null
+    curTokStart = start; curTokEnd = end; curTokEndTagName = null
     setTokContext("NULL_CHARACTER", null)
     ignoreNextLf = false
     if (useForeignRules(isStartTag = false, isChar = true, null)) {
+      insertCharacters("�", start, end)
       ()
-      insertCharacters("�", start, start + 1)
-      return
-    }
-    processNull(start)
+    } else processNull(start, end, count)
   }
 
   /** NULL character tokens outside foreign content follow the reference's
@@ -986,22 +980,22 @@ final class TreeBuilder(
     * silently ignored (parse5's parser adds no error here; the tokenizer
     * already reported unexpected-null-character).
     */
-  private def processNull(start: Int): Unit = {
+  private def processNull(start: Int, end: Int, count: Int): Unit = {
     mode match {
       case Initial =>
         err("missing-doctype", start, start) // beforeToken span
         document.quirksMode = "quirks"
         mode = BeforeHtml
-        processNull(start)
+        processNull(start, end, count)
       case BeforeHtml =>
-        insertHtmlRoot(); mode = BeforeHead; processNull(start)
+        insertHtmlRoot(); mode = BeforeHead; processNull(start, end, count)
       case BeforeHead =>
-        headElement = insertFakeElement("head"); mode = InHead; processNull(start)
+        headElement = insertFakeElement("head"); mode = InHead; processNull(start, end, count)
       case InHead =>
-        pop(); mode = AfterHead; processNull(start)
+        pop(); mode = AfterHead; processNull(start, end, count)
       case InHeadNoscript =>
-        err("disallowed-content-in-noscript-in-head", start, start + 1)
-        pop(); mode = InHead; processNull(start)
+        err("disallowed-content-in-noscript-in-head", start, end)
+        pop(); mode = InHead; processNull(start, end, count)
       case AfterHead =>
         insertFakeElement("body")
         mode = InBody // the null itself is then ignored in body
@@ -1009,7 +1003,8 @@ final class TreeBuilder(
         // parse5 TEXT mode inserts the literal NUL (its tokenizer replaces
         // NULs in the rawtext states, so this only ever fires for exotic
         // driver-forced states — mirrored for exactness)
-        insertCharacters("\u0000", start, start + 1)
+        insertCharacters("\u0000" * count, start, end)
+        ()
       case InTable | InTableBody | InRow =>
         // characterInTable: over a table-structure element the pending
         // buffer resets and mode enters "in table text" (the null ignored);
@@ -1024,7 +1019,7 @@ final class TreeBuilder(
         }
       case InColumnGroup =>
         if (current != null && current.tagName == "colgroup") {
-          pop(); mode = InTable; processNull(start)
+          pop(); mode = InTable; processNull(start, end, count)
         }
       case AfterBody | AfterAfterBody =>
         mode = InBody // modeInBody then ignores the null
