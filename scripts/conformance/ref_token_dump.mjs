@@ -36,6 +36,7 @@ function canon(tokens) {
 
 function tokenizeOne(html) {
   const tokens = [];
+  const errors = [];
   const tok = new Tokenizer({ sourceCodeLocationInfo: false }, {
     onStartTag(t) {
       const attrs = [];
@@ -54,11 +55,11 @@ function tokenizeOne(html) {
     onCharacter(t) { tokens.push({ kind: 'chars', data: t.chars }); },
     onWhitespaceCharacter(t) { tokens.push({ kind: 'chars', data: t.chars }); },
     onNullCharacter(t) { tokens.push({ kind: 'chars', data: t.chars }); },
-    onParseError() {},
+    onParseError(e) { errors.push(`Err(${e.code},${e.startOffset})`); },
     onEof() { tokens.push({ kind: 'eof' }); }
   });
   tok.write(html, true);
-  return canon(tokens);
+  return canon(tokens) + (errors.length ? '\n' + errors.join('\n') : '');
 }
 
 const rl = createInterface({ input: process.stdin, terminal: false });

@@ -57,7 +57,11 @@ object TokenDiffDump {
       if (line.nonEmpty) {
         val html = new String(Base64.getDecoder.decode(line), "UTF-8")
         val rendered =
-          try canon(TokenizeApi.tokenize(html).tokens)
+          try {
+            val r = TokenizeApi.tokenize(html)
+            val errs = r.errors.map(e => s"Err(${e.code},${e.index})")
+            canon(r.tokens) + (if (errs.nonEmpty) "\n" + errs.mkString("\n") else "")
+          }
           catch { case e: Throwable => s"THREW: ${e.getMessage}" }
         out.append(Base64.getEncoder.encodeToString(rendered.getBytes("UTF-8"))).append('\n')
       }
