@@ -68,6 +68,26 @@ function record(html) {
     e.code, e.parseErrorId,
     e.span ? e.span.start : null, e.span ? e.span.end : null,
   ]);
+  // fragment-parse span/error parity (td context exercises the table modes)
+  const sf = m.parseFragment(html, 'td', { captureSpans: true });
+  const fspans = [];
+  m.walk(sf, (node, depth) => {
+    const s = node.span ?? null;
+    const r2 = [node.id, depth, node.kind,
+      node.kind === 'element' ? node.tagName : '',
+      node.spanProvenance, s ? s.start : null, s ? s.end : null];
+    if (node.kind === 'element') {
+      r2.push(node.attributes.map((a) => [
+        a.name, a.value, a.span ? a.span.start : null, a.span ? a.span.end : null,
+      ]));
+    }
+    fspans.push(r2);
+  });
+  rec.frag_spans = fspans;
+  rec.frag_errors = sf.errors.map((e) => [
+    e.code, e.parseErrorId,
+    e.span ? e.span.start : null, e.span ? e.span.end : null,
+  ]);
   return rec;
 }
 

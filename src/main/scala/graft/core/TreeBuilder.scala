@@ -2438,28 +2438,24 @@ final class TreeBuilder(
       processEndTag(tag)
       return
     }
+    // parse5 endTagInForeignContent walk (parser/index.js:3295-3309): scan
+    // from the top down to — but NOT including — the root. An HTML-ns
+    // element hands the token to the current insertion mode; a
+    // case-insensitive name match pops to that element (patching the token
+    // name to the case-adjusted one so _setEndLocation matches); reaching
+    // the root without either silently drops the token.
     var i = stack.length - 1
-    if (i >= 0 && stack(i).tagName.toLowerCase != tag.name)
-      ()
     var done = false
-    while (i >= 0 && !done) {
+    while (i > 0 && !done) {
       val node = stack(i)
-      if (i == 0) { done = true }
-      else if (node.tagName.toLowerCase == tag.name) {
-        // parse5 patches the token's tag name to the element's case-adjusted
-        // name so _setEndLocation matches it (parser/index.js:3303-3305)
+      if (node.namespace == Ns.Html) {
+        processEndTag(tag)
+        done = true
+      } else if (node.tagName.toLowerCase == tag.name) {
         locTokEndTagName = node.tagName
         popUntilElementPopped(node)
         done = true
-      } else {
-        val below = stack(i - 1)
-        if (below.namespace == Ns.Html) {
-          // process per the current insertion mode
-          processEndTag(tag)
-          done = true
-        }
-        i -= 1
-      }
+      } else i -= 1
     }
   }
 

@@ -116,11 +116,9 @@ object ExtractDiffDump {
     }))
     // spans + parse-error parity (reference toPublicSpan/toSpanProvenance,
     // mod.ts:231-244): re-parse with captureSpans and dump per-node span
-    // records plus the error list
-    val st = HtmlParser.parse(html, ParseOptions(captureSpans = true))
-    val spanRecs = Vector.newBuilder[java.lang.StringBuilder => Unit]
-    Traversal.walk(st) { (node, depth) =>
-      spanRecs += { b =>
+    // records plus the error list; same again for a td-context fragment
+    // parse (table modes)
+    def spanRec(node: HtmlNode, depth: Int): java.lang.StringBuilder => Unit = { b =>
         b.append('[').append(node.id).append(',').append(depth).append(',')
         esc(b, node.kind); b.append(',')
         node match {
@@ -154,10 +152,8 @@ object ExtractDiffDump {
         }
         b.append(']')
         ()
-      }
     }
-    field("spans")(arr(sb, spanRecs.result()))
-    field("errors")(arr(sb, st.errors.map { e => (b: java.lang.StringBuilder) =>
+    def errRec(e: ParseError): java.lang.StringBuilder => Unit = { b =>
       arr(b, Seq[java.lang.StringBuilder => Unit](
         x => esc(x, e.code),
         x => esc(x, e.parseErrorId),
@@ -170,7 +166,17 @@ object ExtractDiffDump {
           case None => { x.append("null"); () }
         }
       ))
-    }))
+    }
+    val st = HtmlParser.parse(html, ParseOptions(captureSpans = true))
+    val spanRecs = Vector.newBuilder[java.lang.StringBuilder => Unit]
+    Traversal.walk(st) { (node, depth) => spanRecs += spanRec(node, depth) }
+    field("spans")(arr(sb, spanRecs.result()))
+    field("errors")(arr(sb, st.errors.map(errRec)))
+    val sf = HtmlParser.parseFragment(html, "td", ParseOptions(captureSpans = true))
+    val fragRecs = Vector.newBuilder[java.lang.StringBuilder => Unit]
+    Traversal.walk(sf) { (node, depth) => fragRecs += spanRec(node, depth) }
+    field("frag_spans")(arr(sb, fragRecs.result()))
+    field("frag_errors")(arr(sb, sf.errors.map(errRec)))
     sb.append('}')
     sb.toString
   }
