@@ -88,6 +88,13 @@ function record(html) {
     e.code, e.parseErrorId,
     e.span ? e.span.start : null, e.span ? e.span.end : null,
   ]);
+  // insertion-mode transition parity: the trace's transition events carry
+  // parse5's currentToken context (last START/END tag token only)
+  const tt = m.parse(html, { trace: true });
+  rec.transitions = (tt.trace ?? [])
+    .filter((e) => e.kind === 'insertionModeTransition')
+    .map((e) => [e.fromMode, e.toMode, e.tokenContext.type,
+      e.tokenContext.tagName, e.tokenContext.startOffset, e.tokenContext.endOffset]);
   return rec;
 }
 

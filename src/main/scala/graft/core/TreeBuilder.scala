@@ -145,10 +145,11 @@ final class TreeBuilder(
   private val pendingTableChars = new ArrayBuffer[(String, Boolean, Int, Int)]
   private var fosterParenting = false
 
-  // current-token info for trace context and error spans
+  // parse5 `currentToken` trace-context mirror: set ONLY by start/end tag
+  // tokens (parser/index.js:899,1022) — mode transitions triggered by
+  // character/comment/doctype/EOF tokens report the LAST tag token
   private var curTokStart = -1
   private var curTokEnd = -1
-  private var curTokEndTagName: String = null
   // parse5 `currentToken` mirror for END-LOCATION bookkeeping: updated ONLY
   // by start/end-tag tokens (parser/index.js:899,1022) — character, comment,
   // doctype and EOF tokens do NOT touch it, so pops they trigger (including
@@ -935,8 +936,7 @@ final class TreeBuilder(
 
   override def onChars(data0: String, start: Int, end: Int): Unit = {
     if (stopped) return
-    curTokStart = start; curTokEnd = end; curTokEndTagName = null
-    setTokContext("CHARACTER", null)
+
     val data = applyIgnoreLf(data0)
     if (data.isEmpty) return
     if (useForeignRules(isStartTag = false, isChar = true, null)) {
@@ -947,8 +947,7 @@ final class TreeBuilder(
 
   override def onWhitespace(data0: String, start: Int, end: Int): Unit = {
     if (stopped) return
-    curTokStart = start; curTokEnd = end; curTokEndTagName = null
-    setTokContext("WHITESPACE_CHARACTER", null)
+
     val data = applyIgnoreLf(data0)
     if (data.isEmpty) return
     if (useForeignRules(isStartTag = false, isChar = true, null)) {
@@ -962,8 +961,7 @@ final class TreeBuilder(
     */
   override def onNull(start: Int, end: Int, count: Int): Unit = {
     if (stopped) return
-    curTokStart = start; curTokEnd = end; curTokEndTagName = null
-    setTokContext("NULL_CHARACTER", null)
+
     ignoreNextLf = false
     if (useForeignRules(isStartTag = false, isChar = true, null)) {
       insertCharacters("�", start, end)
@@ -1030,7 +1028,7 @@ final class TreeBuilder(
 
   override def onStartTag(tag: TagToken): Unit = {
     if (stopped) return
-    curTokStart = tag.start; curTokEnd = tag.end; curTokEndTagName = null
+    curTokStart = tag.start; curTokEnd = tag.end
     if (captureSpans) {
       locTokStart = tag.start; locTokEnd = tag.end; locTokEndTagName = null
     }
@@ -1046,7 +1044,7 @@ final class TreeBuilder(
 
   override def onEndTag(tag: TagToken): Unit = {
     if (stopped) return
-    curTokStart = tag.start; curTokEnd = tag.end; curTokEndTagName = tag.name
+    curTokStart = tag.start; curTokEnd = tag.end
     if (captureSpans) {
       locTokStart = tag.start; locTokEnd = tag.end; locTokEndTagName = tag.name
     }
@@ -1055,13 +1053,11 @@ final class TreeBuilder(
     if (useForeignRules(isStartTag = false, isChar = false, tag.name))
       foreignEndTag(tag)
     else processEndTag(tag)
-    curTokEndTagName = null
   }
 
   override def onComment(data: String, start: Int, end: Int): Unit = {
     if (stopped) return
-    curTokStart = start; curTokEnd = end; curTokEndTagName = null
-    setTokContext("COMMENT", null)
+
     ignoreNextLf = false
     // dispatcher: a comment in foreign content is inserted at the current
     // node (spec §13.2.6.5 "A comment token"), not routed by insertion mode
@@ -1083,8 +1079,7 @@ final class TreeBuilder(
 
   override def onDoctype(d: DoctypeTok): Unit = {
     if (stopped) return
-    curTokStart = d.start; curTokEnd = d.end; curTokEndTagName = null
-    setTokContext("DOCTYPE", null)
+
     ignoreNextLf = false
     processDoctype(d)
   }
@@ -1125,8 +1120,7 @@ final class TreeBuilder(
 
   override def onEof(pos: Int): Unit = {
     if (stopped) return
-    curTokStart = pos; curTokEnd = pos; curTokEndTagName = null
-    setTokContext("EOF", null)
+
     processEof(pos)
     // parse5 stopParsing (parser/index.js:2204-2231): EOF end locations for
     // whatever remains open — everything above <body> unconditionally, then

@@ -177,6 +177,28 @@ object ExtractDiffDump {
     Traversal.walk(sf) { (node, depth) => fragRecs += spanRec(node, depth) }
     field("frag_spans")(arr(sb, fragRecs.result()))
     field("frag_errors")(arr(sb, sf.errors.map(errRec)))
+    // insertion-mode transition parity (trace events carry parse5's
+    // currentToken context — the last START/END tag token only)
+    val tt = HtmlParser.parse(html, ParseOptions(trace = true))
+    val trans = tt.trace.toVector.flatten.collect {
+      case t: TraceInsertionModeTransitionEvent => t
+    }
+    field("transitions")(arr(sb, trans.map { t => (b: java.lang.StringBuilder) =>
+      def opt(v: Option[_]): Unit = v match {
+        case Some(s: String) => esc(b, s)
+        case Some(x)         => b.append(x.toString); ()
+        case None            => b.append("null"); ()
+      }
+      b.append('[')
+      esc(b, t.fromMode); b.append(',')
+      esc(b, t.toMode); b.append(',')
+      opt(t.tokenType); b.append(',')
+      opt(t.tokenTagName); b.append(',')
+      opt(t.tokenStartOffset); b.append(',')
+      opt(t.tokenEndOffset)
+      b.append(']')
+      ()
+    }))
     sb.append('}')
     sb.toString
   }
