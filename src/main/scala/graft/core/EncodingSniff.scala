@@ -240,6 +240,144 @@ object EncodingSniff {
       catch { case _: Exception => StandardCharsets.UTF_8 }
   }
 
+  // --- WHATWG Encoding Standard decoders (TextDecoder semantics) ---------
+  // The reference decodes with `new TextDecoder(encoding)` — its error
+  // handling differs from the JVM's: malformed UTF-8 replaces each maximal
+  // subpart per byte-class (so a lone surrogate EDA080 yields THREE U+FFFD
+  // where the JVM yields one), windows-1252 maps the five undefined bytes
+  // to their C1 controls instead of U+FFFD, and x-user-defined maps
+  // 0x80-0xFF into U+F780-F7FF. The four encodings the sniff can produce
+  // (plus x-user-defined) are implemented exactly; anything else falls back
+  // to the JVM registry.
+
+  /** windows-1252 high row 0x80-0x9F (WHATWG index; identity elsewhere). */
+  private val Win1252Hi: Array[Char] = Array(
+    0x20ac, 0x0081, 0x201a, 0x0192, 0x201e, 0x2026, 0x2020, 0x2021,
+    0x02c6, 0x2030, 0x0160, 0x2039, 0x0152, 0x008d, 0x017d, 0x008f,
+    0x0090, 0x2018, 0x2019, 0x201c, 0x201d, 0x2022, 0x2013, 0x2014,
+    0x02dc, 0x2122, 0x0161, 0x203a, 0x0153, 0x009d, 0x017e, 0x0178
+  ).map(_.toChar)
+
+  /** Stateful WHATWG decoder — feed chunks, then finish; usable both for
+    * whole-buffer decode and the streaming path (state survives chunk
+    * boundaries exactly like `TextDecoder(..., {stream: true})`).
+    */
+  final class WhatwgStreamDecoder(encoding: String) {
+    private val mode: Int = encoding match {
+      case "utf-8"          => 0
+      case "windows-1252"   => 1
+      case "utf-16le"       => 2
+      case "utf-16be"       => 3
+      case "x-user-defined" => 4
+      case _                => 5
+    }
+    def isWhatwgNative: Boolean = mode != 5
+    // utf-8 state (spec "UTF-8 decoder")
+    private var cp = 0
+    private var seen = 0
+    private var needed = 0
+    private var lower = 0x80
+    private var upper = 0xbf
+    // utf-16 state: pending low byte (-1 none) + pending lead surrogate
+    private var pendingByte = -1
+    private var pendingLead = -1
+
+    def feed(bytes: Array[Byte], from: Int, until: Int, out: java.lang.StringBuilder): Unit = {
+      var i = from
+      mode match {
+        case 0 =>
+          while (i < until) {
+            val b = bytes(i) & 0xff
+            if (needed == 0) {
+              if (b <= 0x7f) out.append(b.toChar)
+              else if (b >= 0xc2 && b <= 0xdf) { needed = 1; cp = b & 0x1f }
+              else if (b >= 0xe0 && b <= 0xef) {
+                if (b == 0xe0) lower = 0xa0
+                else if (b == 0xed) upper = 0x9f
+                needed = 2; cp = b & 0xf
+              } else if (b >= 0xf0 && b <= 0xf4) {
+                if (b == 0xf0) lower = 0x90
+                else if (b == 0xf4) upper = 0x8f
+                needed = 3; cp = b & 0x7
+              } else out.append('�')
+              i += 1
+            } else if (b < lower || b > upper) {
+              // error: emit replacement, reset, REPROCESS this byte
+              cp = 0; seen = 0; needed = 0; lower = 0x80; upper = 0xbf
+              out.append('�')
+            } else {
+              cp = (cp << 6) | (b & 0x3f)
+              lower = 0x80; upper = 0xbf
+              seen += 1
+              if (seen == needed) {
+                if (cp < 0x10000) out.append(cp.toChar)
+                else {
+                  val v = cp - 0x10000
+                  out.append((0xd800 + (v >> 10)).toChar)
+                  out.append((0xdc00 + (v & 0x3ff)).toChar)
+                }
+                cp = 0; seen = 0; needed = 0
+              }
+              i += 1
+            }
+          }
+        case 1 =>
+          while (i < until) {
+            val b = bytes(i) & 0xff
+            out.append(if (b >= 0x80 && b <= 0x9f) Win1252Hi(b - 0x80) else b.toChar)
+            i += 1
+          }
+        case 2 | 3 =>
+          while (i < until) {
+            val b = bytes(i) & 0xff
+            if (pendingByte < 0) { pendingByte = b; i += 1 }
+            else {
+              val unit =
+                if (mode == 2) pendingByte | (b << 8) else (pendingByte << 8) | b
+              pendingByte = -1
+              i += 1
+              emitUtf16Unit(unit, out)
+            }
+          }
+        case 4 =>
+          while (i < until) {
+            val b = bytes(i) & 0xff
+            out.append(if (b < 0x80) b.toChar else (0xf780 + (b - 0x80)).toChar)
+            i += 1
+          }
+        case _ =>
+          // non-WHATWG-native: callers use the JVM charset path instead
+          throw new IllegalStateException(s"not a native WHATWG decoder: $encoding")
+      }
+    }
+
+    /** WHATWG "shared utf-16" surrogate handling: lone surrogates become
+      * U+FFFD; an interrupted lead is replaced and the interrupting unit is
+      * reprocessed.
+      */
+    private def emitUtf16Unit(unit: Int, out: java.lang.StringBuilder): Unit = {
+      if (pendingLead >= 0) {
+        if (unit >= 0xdc00 && unit <= 0xdfff) {
+          out.append(pendingLead.toChar).append(unit.toChar)
+          pendingLead = -1
+          return
+        }
+        out.append('�')
+        pendingLead = -1
+        // fall through: reprocess the current unit
+      }
+      if (unit >= 0xd800 && unit <= 0xdbff) pendingLead = unit
+      else if (unit >= 0xdc00 && unit <= 0xdfff) out.append('�')
+      else out.append(unit.toChar)
+    }
+
+    def finish(out: java.lang.StringBuilder): Unit = {
+      if (needed != 0) { out.append('�'); needed = 0; seen = 0; cp = 0 }
+      if (pendingByte >= 0 || pendingLead >= 0) out.append('�')
+      pendingByte = -1; pendingLead = -1
+    }
+  }
+
   /** Decode bytes after sniffing; strips the BOM when one was detected
     * (TextDecoder semantics).
     */
@@ -253,10 +391,19 @@ object EncodingSniff {
       case "bom"                              => 2
       case _                                  => 0
     }
-    val text = new String(bytes, skip, bytes.length - skip, charsetFor(sniff.encoding))
-    // a UTF-8 decoder also strips a leading BOM char per TextDecoder semantics
+    val dec = new WhatwgStreamDecoder(sniff.encoding)
+    val text =
+      if (dec.isWhatwgNative) {
+        val sb = new java.lang.StringBuilder(bytes.length - skip)
+        dec.feed(bytes, skip, bytes.length, sb)
+        dec.finish(sb)
+        sb.toString
+      } else new String(bytes, skip, bytes.length - skip, charsetFor(sniff.encoding))
+    // the decoder also strips a leading BOM char per TextDecoder semantics
     val cleaned =
-      if (skip == 0 && text.nonEmpty && text.charAt(0) == '﻿') text.substring(1)
+      if (skip == 0 && text.nonEmpty && text.charAt(0) == '﻿' &&
+        (sniff.encoding == "utf-8" || sniff.encoding == "utf-16le" ||
+          sniff.encoding == "utf-16be")) text.substring(1)
       else text
     (cleaned, sniff)
   }

@@ -65,18 +65,28 @@ object Streaming {
     val headBytes = head.toArray
     val sniff = EncodingSniff.sniffHtmlEncoding(headBytes, transportEncodingLabel)
 
-    // phase 2: incremental decode (stateful across chunk boundaries)
-    val charset = try java.nio.charset.Charset.forName(sniff.encoding match {
-      case "windows-1252" => "windows-1252"
-      case other          => other
-    }) catch { case _: Throwable => java.nio.charset.Charset.forName("windows-1252") }
-    val decoder = charset.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    // phase 2: incremental decode (stateful across chunk boundaries).
+    // WHATWG-native encodings use the exact TextDecoder-semantics state
+    // machine (same one as the batch path, so parseStream == parseBytes on
+    // malformed input); anything else goes through a JVM CharsetDecoder.
+    val whatwg = new EncodingSniff.WhatwgStreamDecoder(sniff.encoding)
+    val jvmDecoder =
+      if (whatwg.isWhatwgNative) null
+      else (try java.nio.charset.Charset.forName(sniff.encoding)
+      catch { case _: Throwable => java.nio.charset.Charset.forName("windows-1252") })
+        .newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
     val out = new java.lang.StringBuilder(headBytes.length)
     var pending = java.nio.ByteBuffer.allocate(0)
 
     def feed(bytes: Array[Byte], offset: Int, endOfInput: Boolean): Unit = {
+      if (whatwg.isWhatwgNative) {
+        whatwg.feed(bytes, offset, bytes.length, out)
+        if (endOfInput) whatwg.finish(out)
+        checkTime()
+        return
+      }
       val in =
         if (pending.hasRemaining) {
           val merged = java.nio.ByteBuffer.allocate(pending.remaining + bytes.length - offset)
@@ -84,8 +94,8 @@ object Streaming {
           merged.flip(); merged
         } else java.nio.ByteBuffer.wrap(bytes, offset, bytes.length - offset)
       val cb = java.nio.CharBuffer.allocate(in.remaining + 16)
-      decoder.decode(in, cb, endOfInput)
-      if (endOfInput) { decoder.flush(cb); () }
+      jvmDecoder.decode(in, cb, endOfInput)
+      if (endOfInput) { jvmDecoder.flush(cb); () }
       cb.flip()
       out.append(cb)
       pending = if (in.hasRemaining) {
