@@ -81,6 +81,33 @@ def corpus():
 
     seed0 = int(os.environ.get("BYTES_DIFF_SEED", "0xB17E5"), 16)
     rng = random.Random(seed0)
+
+    # meta-prescan fuzz: the prescan algorithm's corners (spellings, quote
+    # styles, http-equiv content parsing, comments incl. unterminated,
+    # rawtext-ish containers, multiple competing metas, junk values)
+    meta_bits = [
+        b"<meta charset=", b"<META CHARSET=", b"<meta  charset =",
+        b"<meta foo=bar charset=", b"<meta http-equiv=content-type content=\"text/html; charset=",
+        b"<meta http-equiv='Content-Type' content='charset=",
+        b"<meta content=\"charset=", b"<meta charset charset=",
+    ]
+    enc_vals = [b"utf-8", b"'utf-8'", b'"utf-8"', b"windows-1252", b"latin1",
+                b"UTF-8 ", b" utf-8", b"bogus", b"utf-16le", b"x-user-defined",
+                b"utf8", b"", b"'utf-8", b"utf-8'"]
+    wrappers = [b"", b"<!-- ", b"<!--", b"<script>", b"<title>", b"<p x=y>",
+                b"<!-- -->", b"<!--x--!>", b"</", b"<"]
+    closers = [b">", b" >", b"/>", b"", b" foo=bar>"]
+    pre_noise = [b"", b"\x00", b"\xc3\xa9", b"<p>text</p>", b"<!--noise-->",
+                 b"<not-meta charset=utf-8>", b"\xff"]
+    for _ in range(int(os.environ.get("BYTES_DIFF_META_FUZZ", "1200"))):
+        parts = [rng.choice(pre_noise)]
+        for _ in range(rng.randint(1, 3)):
+            parts.append(rng.choice(wrappers))
+            parts.append(rng.choice(meta_bits) + rng.choice(enc_vals) +
+                         rng.choice(closers))
+            parts.append(rng.choice(pre_noise))
+        parts.append(b"t\xe9xt tail")
+        add(b"".join(parts))
     frag_pool = [b"<p>", b"</p>", b"text ", b"\xc3\xa9", b"\xe2\x98\x83",
                  b"\x80", b"\xc3", b"\xff", b"\xfe", b"\x00", b"\x9d",
                  b"<meta charset=utf-8>", b"<meta charset=windows-1252>",

@@ -144,8 +144,10 @@ object EncodingSniff {
     val body = tag
       .replaceFirst("(?i)^<meta", "")
       .replaceFirst(">$", "")
-    val attrs = Map.newBuilder[String, String]
-    val seen = scala.collection.mutable.Set[String]()
+    // reference parseMetaAttributes uses Map.set: a DUPLICATE attribute
+    // name overwrites the earlier one (last wins), unlike the tokenizer's
+    // first-wins rule
+    var attrs = Map.empty[String, String]
     var index = 0
     def isWs(c: Char) = c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' '
     var break = false
@@ -182,15 +184,17 @@ object EncodingSniff {
               value = body.substring(valueStart, index)
             }
           }
-          if (!seen.contains(rawName)) { attrs += rawName -> value; seen += rawName }
+          attrs = attrs.updated(rawName, value)
         }
       }
     }
-    attrs.result()
+    attrs
   }
 
+  // JS \s (the reference regex's class) includes NBSP; the scan text is
+  // latin1-decoded so only the one-byte members can occur
   private val CharsetInContent =
-    """(?i)charset\s*=\s*("[^"]*"|'[^']*'|[^\s;"'>]+)""".r
+    """(?i)charset[\t\n\x0B\f\r \xA0]*=[\t\n\x0B\f\r \xA0]*("[^"]*"|'[^']*'|[^\t\n\x0B\f\r \xA0;"'>]+)""".r
 
   private def sniffMetaCharset(bytes: Array[Byte], maxPrescanBytes: Int): String = {
     val scan = stripHtmlComments(decodeLatin1(bytes, maxPrescanBytes))
