@@ -95,6 +95,34 @@ function record(html) {
     .filter((e) => e.kind === 'insertionModeTransition')
     .map((e) => [e.fromMode, e.toMode, e.tokenContext.type,
       e.tokenContext.tagName, e.tokenContext.startOffset, e.tokenContext.endOffset]);
+  // patch parity: a deterministic edit script derived from the tree (both
+  // engines compute identical trees and node ids, so the same generator
+  // yields the same edits). Overlap-heavy on purpose: planning failures
+  // must match by error code too.
+  const cand = [];
+  m.walk(tree, (node) => {
+    cand.push([node.id, node.kind,
+      node.kind === 'element' ? node.attributes.map((a) => a.name) : []]);
+  });
+  const edits = [];
+  cand.forEach(([id, kind, attrs], i) => {
+    switch (i % 7) {
+      case 0: if (kind === 'element') edits.push({ kind: 'setAttr', target: id, name: 'data-x', value: 'v&"\'<>' }); break;
+      case 1: if (kind === 'text') edits.push({ kind: 'replaceText', target: id, value: 'R & T' }); break;
+      case 2: if (kind === 'element' && attrs.length) edits.push({ kind: 'removeAttr', target: id, name: attrs[0] }); break;
+      case 3: if (kind === 'element') edits.push({ kind: 'insertHtmlBefore', target: id, html: '<i>b</i>' }); break;
+      case 4: if (kind === 'element') edits.push({ kind: 'insertHtmlAfter', target: id, html: '<i>a</i>' }); break;
+      case 5: if (kind === 'element') edits.push({ kind: 'removeNode', target: id }); break;
+      default: break;
+    }
+  });
+  try {
+    const plan = m.computePatch(html, edits);
+    rec.patch = ['ok', plan.result, m.applyPatchPlan(html, plan) === plan.result];
+  } catch (e) {
+    rec.patch = ['err', e && e.payload ? e.payload.code : String(e && e.message),
+      e && e.payload && e.payload.target !== undefined ? e.payload.target : null];
+  }
   return rec;
 }
 

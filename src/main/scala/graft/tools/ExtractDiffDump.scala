@@ -199,6 +199,57 @@ object ExtractDiffDump {
       b.append(']')
       ()
     }))
+    // patch parity: deterministic edit script over the shared tree/node ids;
+    // overlap-heavy on purpose so planning failures compare by code too
+    locally {
+      val cand = Vector.newBuilder[(Int, String, Vector[String])]
+      Traversal.walk(tree) { (node, _) =>
+        cand += ((node.id, node.kind, node match {
+          case e: ElementNode => e.attributes.map(_.name)
+          case _              => Vector.empty
+        }))
+      }
+      val edits = Vector.newBuilder[Edit]
+      cand.result().zipWithIndex.foreach { case ((id, kind, attrs), i) =>
+        (i % 7) match {
+          case 0 => if (kind == "element") edits += SetAttr(id, "data-x", "v&\"'<>")
+          case 1 => if (kind == "text") edits += ReplaceText(id, "R & T")
+          case 2 => if (kind == "element" && attrs.nonEmpty) edits += RemoveAttr(id, attrs.head)
+          case 3 => if (kind == "element") edits += InsertHtmlBefore(id, "<i>b</i>")
+          case 4 => if (kind == "element") edits += InsertHtmlAfter(id, "<i>a</i>")
+          case 5 => if (kind == "element") edits += RemoveNode(id)
+          case _ =>
+        }
+      }
+      field("patch")(
+        try {
+          val plan = Patch.computePatch(html, edits.result())
+          val roundtrip = Patch.applyPatchPlan(html, plan) == plan.result
+          arr(sb, Seq[java.lang.StringBuilder => Unit](
+            x => esc(x, "ok"),
+            x => esc(x, plan.result),
+            x => { x.append(if (roundtrip) "true" else "false"); () }
+          ))
+        } catch {
+          case e: PatchPlanningException =>
+            arr(sb, Seq[java.lang.StringBuilder => Unit](
+              x => esc(x, "err"),
+              x => esc(x, e.payload.code),
+              x => e.payload.target match {
+                case Some(t) => { x.append(t); () }
+                case None    => { x.append("null"); () }
+              }
+            ))
+          case e: Exception =>
+            // the reference's generic JS catch surfaces e.message the same
+            // way (both engines share the apply-plan validation strings)
+            arr(sb, Seq[java.lang.StringBuilder => Unit](
+              x => esc(x, "err"),
+              x => esc(x, String.valueOf(e.getMessage)),
+              x => { x.append("null"); () }
+            ))
+        })
+    }
     sb.append('}')
     sb.toString
   }
