@@ -116,6 +116,19 @@ function record(html) {
       default: break;
     }
   });
+  // budget-metrics parity: tight budgets over the same doc — either both
+  // throw BudgetExceededError with identical (budget, limit, actual) or
+  // both succeed with the same budget-ish error pushes
+  try {
+    const bt = m.parse(html, { budgets: { maxDepth: 6, maxNodes: 40,
+      maxAttributesPerElement: 2, maxAttributeBytes: 40 } });
+    rec.budget_probe = ['ok',
+      bt.errors.map((e) => [e.parseErrorId, e.span ? e.span.start : null])];
+  } catch (e) {
+    rec.budget_probe = (e && e.payload)
+      ? ['budget', e.payload.budget, e.payload.limit, e.payload.actual]
+      : ['threw', String(e && e.message)];
+  }
   try {
     const plan = m.computePatch(html, edits);
     rec.patch = ['ok', plan.result, m.applyPatchPlan(html, plan) === plan.result];

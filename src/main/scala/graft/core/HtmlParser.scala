@@ -291,22 +291,12 @@ object HtmlParser {
     case el: DomElement =>
       state.nodeCount += 1
       state.checkBudgets(depth)
-      // attribute budgets (reference: build.ts:200-235)
-      if (state.budgets != null) {
-        state.budgets.maxAttributesPerElement.foreach { m =>
-          if (el.attrs.length > m)
-            state.errors += new ErrRec("max-attributes-per-element-exceeded", 0, 0, false)
-        }
-        state.budgets.maxAttributeBytes.foreach { m =>
-          var total = 0
-          // byte budget counts the FORMATTED name and includes attributes the
-          // dedup below skips (reference: build.ts:209-216 accumulates before
-          // the `seen` check)
-          el.attrs.foreach(a => total += publicAttrName(a.name).length + a.value.length)
-          if (total > m)
-            state.errors += new ErrRec("max-attribute-bytes-exceeded", 0, 0, false)
-        }
-      }
+      // NOTE: the attribute budgets (maxAttributesPerElement /
+      // maxAttributeBytes) exist in the option surface but are silently
+      // DROPPED by the reference's public parse — its
+      // treeBudgetsFromParseOptions forwards only maxNodes/maxDepth to the
+      // tree layer, so the build.ts:200-235 checks never run (verified
+      // differentially); they are accepted-and-ignored here to match.
       // children are converted (and receive ids) BEFORE the element itself
       // (index loops: the closure-based foreach showed up in parse profiles)
       val kids =

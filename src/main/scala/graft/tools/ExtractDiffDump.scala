@@ -199,6 +199,33 @@ object ExtractDiffDump {
       b.append(']')
       ()
     }))
+    // budget-metrics parity: tight budgets — both engines must throw the
+    // same (budget, limit, actual) or succeed with the same error pushes
+    field("budget_probe")(
+      try {
+        val bt = HtmlParser.parse(html, ParseOptions(budgets = Some(Budgets(
+          maxDepth = Some(6), maxNodes = Some(40),
+          maxAttributesPerElement = Some(2), maxAttributeBytes = Some(40)))))
+        arr(sb, Seq[java.lang.StringBuilder => Unit](
+          x => esc(x, "ok"),
+          x => arr(x, bt.errors.map { e => (y: java.lang.StringBuilder) =>
+            arr(y, Seq[java.lang.StringBuilder => Unit](
+              z => esc(z, e.parseErrorId),
+              z => e.span match {
+                case Some(s) => { z.append(s.start); () }
+                case None    => { z.append("null"); () }
+              }))
+          })
+        ))
+      } catch {
+        case e: BudgetExceededException =>
+          arr(sb, Seq[java.lang.StringBuilder => Unit](
+            x => esc(x, "budget"),
+            x => esc(x, e.payload.budget),
+            x => { x.append(e.payload.limit); () },
+            x => { x.append(e.payload.actual); () }
+          ))
+      })
     // patch parity: deterministic edit script over the shared tree/node ids;
     // overlap-heavy on purpose so planning failures compare by code too
     locally {
