@@ -349,7 +349,7 @@ def corpus():
 FIELDS = ["vt_default", "vt_keep_hidden", "vt_no_controls", "vt_accname",
           "vt_no_trim", "tokens", "prov", "text_content", "outline", "chunks",
           "chunks_small", "serialize", "frags", "spans", "errors",
-          "frag_spans", "frag_errors", "transitions", "patch", "budget_probe"]
+          "frag_spans", "frag_errors", "transitions", "patch", "budget_probe", "tok_facade"]
 
 
 def main():

@@ -12,6 +12,36 @@ import { createInterface } from 'node:readline';
 
 const REFJS = process.env.REFJS ?? '/tmp/refjs';
 const m = await import(`${REFJS}/public/mod.js`);
+const tk = await import(`${REFJS}/internal/tokenizer/mod.js`);
+
+// tokenize facade parity: tokens + errors under option combos
+function tokRec(h, opts) {
+  try {
+    const r = tk.tokenize(h, opts);
+    return [r.tokens.map((t) => {
+      switch (t.type) {
+        case 'StartTag': return ['S', t.name, Object.entries(t.attributes), t.selfClosing];
+        case 'EndTag': return ['E', t.name];
+        case 'Character': return ['C', t.data];
+        case 'Comment': return ['M', t.data];
+        case 'Doctype': return ['D', t.name, t.publicId, t.systemId, t.forceQuirks];
+        default: return ['F'];
+      }
+    }), r.errors.map((e) => [e.code, e.index])];
+  } catch (e) { return ['THREW', String(e && e.message)]; }
+}
+const TOK_COMBOS = [
+  {},
+  { initialState: 'RCDATA state', lastStartTag: 'textarea' },
+  { initialState: 'RAWTEXT state', lastStartTag: 'style' },
+  { initialState: 'Script data state', lastStartTag: 'script' },
+  { initialState: 'PLAINTEXT state' },
+  { initialState: 'CDATA section state' },
+  { budgets: { maxTextBytes: 40, maxParseErrors: 2 } },
+  { budgets: { maxTokenBytes: 60 } },
+  { doubleEscaped: true },
+  { xmlViolationMode: true },
+];
 
 function record(html) {
   const tree = m.parse(html);
@@ -129,6 +159,7 @@ function record(html) {
       ? ['budget', e.payload.budget, e.payload.limit, e.payload.actual]
       : ['threw', String(e && e.message)];
   }
+  rec.tok_facade = TOK_COMBOS.map((o) => tokRec(html, o));
   try {
     const plan = m.computePatch(html, edits);
     rec.patch = ['ok', plan.result, m.applyPatchPlan(html, plan) === plan.result];

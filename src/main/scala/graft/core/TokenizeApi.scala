@@ -31,6 +31,8 @@ final case class TokenizeOpts(
     lastStartTag: String = "",
     cdata: Boolean = false,
     maxParseErrors: Option[Int] = None,
+    maxTextBytes: Option[Int] = None,
+    maxTokenBytes: Option[Int] = None,
     doubleEscaped: Boolean = false,
     xmlViolationMode: Boolean = false
 )
@@ -135,7 +137,73 @@ object TokenizeApi {
         sink.tokens(1) == EofTok)
       sink.tokens(0) = CommentTok(
         normalizeCommentData(input.substring(4, input.length - 3), opts))
+    // post-merge budgets (reference tokenize.ts enforceBudgets: run over the
+    // merged stream BEFORE the EOF append, pushed past the maxParseErrors
+    // cap; maxTokenBytes measures the JSON.stringify rendering)
+    val body = sink.tokens.view.filter(_ != EofTok).toVector
+    opts.maxTextBytes.foreach { m =>
+      val textBytes = body.collect { case CharsTok(d) => d.length }.sum
+      if (textBytes > m)
+        sink.errors += TokenizerError("max-text-bytes-exceeded", textBytes)
+    }
+    opts.maxTokenBytes.foreach { m =>
+      if (body.exists(t => jsonStringifyLength(t) > m))
+        sink.errors += TokenizerError("max-token-bytes-exceeded", 0)
+    }
     TokenizeResult(sink.tokens.toVector, sink.errors.toVector)
+  }
+
+  /** The JS `JSON.stringify` rendering of a token — the unit the
+    * reference's maxTokenBytes budget measures (tokenize.ts enforceBudgets
+    * compares JSON.stringify(token).length).
+    */
+  private def jsonStringifyLength(t: HtmlToken): Int = {
+    def s(v: String): String = {
+      val b = new java.lang.StringBuilder(v.length + 2)
+      b.append('"')
+      var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        c match {
+          case '"'  => b.append("\\\"")
+          case '\\' => b.append("\\\\")
+          case '\b' => b.append("\\b")
+          case '\f' => b.append("\\f")
+          case '\n' => b.append("\\n")
+          case '\r' => b.append("\\r")
+          case '\t' => b.append("\\t")
+          case c if c < 0x20 => b.append(f"\\u$c%04x")
+          case c if c >= 0xd800 && c <= 0xdfff =>
+            val paired =
+              (c < 0xdc00 && i + 1 < v.length && {
+                val d = v.charAt(i + 1); d >= 0xdc00 && d <= 0xdfff
+              }) ||
+                (c >= 0xdc00 && i > 0 && {
+                  val d = v.charAt(i - 1); d >= 0xd800 && d < 0xdc00
+                })
+            if (paired) b.append(c) else b.append(f"\\u$c%04x")
+          case c => b.append(c)
+        }
+        i += 1
+      }
+      b.append('"').toString
+    }
+    val r = t match {
+      case StartTagTok(name, attrs, selfClosing) =>
+        val a = attrs.map { case (k, v) => s(k) + ":" + s(v) }.mkString(",")
+        "{\"type\":\"StartTag\",\"name\":" + s(name) +
+          ",\"attributes\":{" + a + "},\"selfClosing\":" + selfClosing + "}"
+      case EndTagTok(name) => "{\"type\":\"EndTag\",\"name\":" + s(name) + "}"
+      case CharsTok(d)     => "{\"type\":\"Character\",\"data\":" + s(d) + "}"
+      case CommentTok(d)   => "{\"type\":\"Comment\",\"data\":" + s(d) + "}"
+      case DoctypeToken(name, publicId, systemId, forceQuirks) =>
+        "{\"type\":\"Doctype\",\"name\":" + s(name) +
+          ",\"publicId\":" + publicId.map(s).getOrElse("null") +
+          ",\"systemId\":" + systemId.map(s).getOrElse("null") +
+          ",\"forceQuirks\":" + forceQuirks + "}"
+      case EofTok => "{\"type\":\"EOF\"}"
+    }
+    r.length
   }
 
   /** Serialize a token stream back to HTML for re-parsing (reference

@@ -199,6 +199,63 @@ object ExtractDiffDump {
       b.append(']')
       ()
     }))
+    // tokenize facade parity: tokens + errors under option combos
+    locally {
+      val combos = Vector(
+        TokenizeOpts(),
+        TokenizeOpts(initialState = "RCDATA state", lastStartTag = "textarea"),
+        TokenizeOpts(initialState = "RAWTEXT state", lastStartTag = "style"),
+        TokenizeOpts(initialState = "Script data state", lastStartTag = "script"),
+        TokenizeOpts(initialState = "PLAINTEXT state"),
+        TokenizeOpts(initialState = "CDATA section state"),
+        TokenizeOpts(maxTextBytes = Some(40), maxParseErrors = Some(2)),
+        TokenizeOpts(maxTokenBytes = Some(60)),
+        TokenizeOpts(doubleEscaped = true),
+        TokenizeOpts(xmlViolationMode = true)
+      )
+      def tokRec(o: TokenizeOpts): java.lang.StringBuilder => Unit = { b =>
+        try {
+          val r = TokenizeApi.tokenize(html, o)
+          arr(b, Seq[java.lang.StringBuilder => Unit](
+            x => arr(x, r.tokens.map { t => (y: java.lang.StringBuilder) =>
+              t match {
+                case StartTagTok(n, attrs, sc) =>
+                  arr(y, Seq[java.lang.StringBuilder => Unit](
+                    z => esc(z, "S"), z => esc(z, n),
+                    z => arr(z, attrs.map { case (k, v) => (w: java.lang.StringBuilder) =>
+                      arr(w, Seq[java.lang.StringBuilder => Unit](
+                        q => esc(q, k), q => esc(q, v)))
+                    }),
+                    z => { z.append(if (sc) "true" else "false"); () }))
+                case EndTagTok(n) =>
+                  arr(y, Seq[java.lang.StringBuilder => Unit](z => esc(z, "E"), z => esc(z, n)))
+                case CharsTok(d) =>
+                  arr(y, Seq[java.lang.StringBuilder => Unit](z => esc(z, "C"), z => esc(z, d)))
+                case CommentTok(d) =>
+                  arr(y, Seq[java.lang.StringBuilder => Unit](z => esc(z, "M"), z => esc(z, d)))
+                case DoctypeToken(n, pid, sid, fq) =>
+                  arr(y, Seq[java.lang.StringBuilder => Unit](
+                    z => esc(z, "D"), z => esc(z, n),
+                    z => pid match { case Some(s) => esc(z, s); case None => { z.append("null"); () } },
+                    z => sid match { case Some(s) => esc(z, s); case None => { z.append("null"); () } },
+                    z => { z.append(if (fq) "true" else "false"); () }))
+                case EofTok =>
+                  arr(y, Seq[java.lang.StringBuilder => Unit](z => esc(z, "F")))
+              }
+            }),
+            x => arr(x, r.errors.map { e => (y: java.lang.StringBuilder) =>
+              arr(y, Seq[java.lang.StringBuilder => Unit](
+                z => esc(z, e.code), z => { z.append(e.index); () }))
+            })
+          ))
+        } catch {
+          case e: Exception =>
+            arr(b, Seq[java.lang.StringBuilder => Unit](
+              x => esc(x, "THREW"), x => esc(x, String.valueOf(e.getMessage))))
+        }
+      }
+      field("tok_facade")(arr(sb, combos.map(tokRec)))
+    }
     // budget-metrics parity: tight budgets — both engines must throw the
     // same (budget, limit, actual) or succeed with the same error pushes
     field("budget_probe")(
