@@ -111,6 +111,12 @@ def corpus():
         "<br><br><br>", "a<hr>b", "<p>a</p><br><p>b</p>",
         # deeply nested inline
         "<b><i><u><s><em><strong>deep</strong></em></s></u></i></b>",
+        # chars in a table mode over an open <template>: template is NOT a
+        # table-structure tag, so text must NOT enter "in table text"
+        # (regression: seed 0xD00D02 found IN_ROW chars over template
+        # buffering where parse5 takes the anything-else path)
+        "<template><td>c</td>&amp;x</template>tail",
+        "<table><template>t<td>c</td>x</template></table>",
     ]
     # EOF truncation sweep over the first, hand-written half
     base = list(cases)

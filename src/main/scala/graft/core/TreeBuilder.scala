@@ -1216,10 +1216,13 @@ final class TreeBuilder(
       case Text =>
         insertCharacters(data, start, end)
       case InTable | InTableBody | InRow =>
+        // parse5 characterInTable: TABLE_STRUCTURE_TAGS is exactly
+        // {table, tbody, tfoot, thead, tr} — NOT template — and the check
+        // is tagID-based, hence namespace-blind (parser/index.js:51,2434)
         val t = current
-        if (t.namespace == Ns.Html &&
+        if (t != null &&
           (t.tagName == "table" || t.tagName == "tbody" || t.tagName == "tfoot" ||
-            t.tagName == "thead" || t.tagName == "tr" || t.tagName == "template")) {
+            t.tagName == "thead" || t.tagName == "tr")) {
           pendingTableChars.clear()
           originalMode = mode
           mode = InTableText
