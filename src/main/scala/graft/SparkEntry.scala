@@ -588,15 +588,31 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
-    // ---- multimodal plumbing (stubbed decode) --------------------------
+    // ---- multimodal: REAL javax.imageio decode over deterministic PNGs.
+    // Every doc_id not divisible by 7 carries Multimodal.syntheticPng(id)
+    // (closed-form pixels); the rest carry raw text bytes to exercise the
+    // stub fallback. The oracle re-states width/height/channels AND the
+    // exact raster sample sum from the generator formulas alone — if the
+    // decode were fake, pixel_sum could not match.
     "q_multimodal" -> ((s, dir) => {
+      import s.implicits._
       val media = docs(s, dir)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload =
+            if (id % 7L == 0L) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else Multimodal.syntheticPng(id)
+          (id, payload)
+        }
+        .toDF("doc_id", "payload")
       Multimodal.decode(media).toDF()
-        .select(col("doc_id"), col("n_bytes"),
+        .select(col("doc_id"),
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"),
-          col("meta.format").as("format"))
+          col("meta.channels").cast("long").as("channels"),
+          col("meta.format").as("format"),
+          col("pixel_sum"))
     }),
 
     // ---- relational sanity over the corpus -----------------------------
@@ -901,11 +917,36 @@ object SparkEntry {
 
     "q_minhash_bands" -> minhashBandsOracleSql,
 
+    // Closed-form replay of Multimodal.syntheticPng: the decoded dimensions,
+    // channel count AND exact raster sample sum are restated from the
+    // generator formulas (PNG is lossless); stub rows replay decodeStub.
     "q_multimodal" ->
-      ("SELECT doc_id, length(text) AS n_bytes, " +
+      ("WITH png AS (" +
+        "SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 11 AS h, " +
+        "doc_id % 256 AS idm, doc_id % 2 = 0 AS gray " +
+        "FROM documents WHERE doc_id % 7 <> 0), " +
+        "sums AS (" +
+        "SELECT p.doc_id, CAST(SUM(CASE WHEN p.gray " +
+        "THEN (7*gx.x + 13*gy.y + p.idm) % 256 " +
+        "ELSE (3*gx.x + 5*gy.y + p.idm) % 256 " +
+        "+ (11*gx.x + 2*gy.y + 3*p.idm) % 256 " +
+        "+ (gx.x + 7*gy.y + 5*p.idm) % 256 END) AS BIGINT) AS pixel_sum " +
+        "FROM png p, generate_series(0, 15) AS gx(x), " +
+        "generate_series(0, 10) AS gy(y) " +
+        "WHERE gx.x < p.w AND gy.y < p.h " +
+        "GROUP BY p.doc_id) " +
+        "SELECT p.doc_id, CAST(p.w AS BIGINT) AS width, " +
+        "CAST(p.h AS BIGINT) AS height, " +
+        "CAST(CASE WHEN p.gray THEN 1 ELSE 3 END AS BIGINT) AS channels, " +
+        "'png' AS format, s.pixel_sum " +
+        "FROM png p JOIN sums s USING (doc_id) " +
+        "UNION ALL " +
+        "SELECT doc_id, " +
         "CAST(16 + (ascii(substring(text, 1, 1)) % 64) * 16 AS BIGINT) AS width, " +
         "CAST(16 + (ascii(substring(text, 2, 1)) % 64) * 16 AS BIGINT) AS height, " +
-        "'stub' AS format FROM documents"),
+        "CAST(3 AS BIGINT) AS channels, 'stub' AS format, " +
+        "CAST(-1 AS BIGINT) AS pixel_sum " +
+        "FROM documents WHERE doc_id % 7 = 0"),
 
     "q_doc_stats" ->
       ("SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, avg(n_chars) AS avg_chars " +

@@ -89,11 +89,31 @@ object Extraction {
     def close(): Unit = in.offer(Poison, 1, java.util.concurrent.TimeUnit.SECONDS)
   }
 
-  /** Extract one turn. Total: never throws. */
+  /** Extract one turn. Total for data-shaped failures: budget trips, parse
+    * surprises and recursion overflow degrade to the `budget_error` column;
+    * genuinely fatal VM errors (OOM, internal JVM errors) propagate and fail
+    * the task so Spark retries it — same contract as
+    * [[graft.functions.VisibleTextEval]]'s guard.
+    */
+  private[graft] def guardedExtract(t: TranscriptTurn, htmlLen: Long)
+                                   (body: => ExtractedTurn): ExtractedTurn =
+    try body
+    catch {
+      case e: BudgetExceededException =>
+        ExtractedTurn(t.conv_id, t.turn_idx, t.role, "", Nil,
+          0, "", s"budget:${e.payload.budget}", htmlLen, 0L)
+      case scala.util.control.NonFatal(e) =>
+        ExtractedTurn(t.conv_id, t.turn_idx, t.role, "", Nil,
+          0, "", s"internal:${e.getClass.getSimpleName}", htmlLen, 0L)
+      case e: StackOverflowError =>
+        ExtractedTurn(t.conv_id, t.turn_idx, t.role, "", Nil,
+          0, "", s"internal:${e.getClass.getSimpleName}", htmlLen, 0L)
+    }
+
   def extractOne(t: TranscriptTurn, budgets: Budgets,
                  options: VisibleTextOptions): ExtractedTurn = {
     val html = if (t.text == null) "" else t.text
-    try {
+    guardedExtract(t, html.length.toLong) {
       val tree = HtmlParser.parse(html,
         ParseOptions(captureSpans = true, budgets = Some(budgets)))
       val (text, provTokens) = VisibleText.extractWithProvenance(tree.children, options)
@@ -123,13 +143,6 @@ object Extraction {
         tree.errors.length,
         tree.errors.headOption.map(_.parseErrorId).getOrElse(""),
         "", html.length.toLong, text.length.toLong)
-    } catch {
-      case e: BudgetExceededException =>
-        ExtractedTurn(t.conv_id, t.turn_idx, t.role, "", Nil,
-          0, "", s"budget:${e.payload.budget}", html.length.toLong, 0L)
-      case e: Throwable =>
-        ExtractedTurn(t.conv_id, t.turn_idx, t.role, "", Nil,
-          0, "", s"internal:${e.getClass.getSimpleName}", html.length.toLong, 0L)
     }
   }
 

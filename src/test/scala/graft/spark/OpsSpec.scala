@@ -189,17 +189,104 @@ class OpsSpec extends AnyFunSuite {
     texts.foreach { case (id, t) => assert(out(id) == local(t), s"doc $id") }
   }
 
-  test("multimodal decode stub is deterministic and batch-shaped") {
+  test("multimodal stub fallback is deterministic for unrecognised payloads") {
     import spark.implicits._
     val media = Seq((1L, "hello world".getBytes("UTF-8")), (2L, Array.empty[Byte]))
       .toDF("doc_id", "payload")
     val out = Multimodal.decode(media).collect().sortBy(_.doc_id)
     assert(out(0).n_bytes == 11L)
     assert(out(0).meta.format == "stub")
+    assert(out(0).pixel_sum == -1L)
     assert(out(0).feature.sum > 0.99f && out(0).feature.sum < 1.01f)
     assert(out(1).n_bytes == 0L)
     // determinism
     val again = Multimodal.decode(media).collect().sortBy(_.doc_id)
     assert(out.map(_.meta).toSeq == again.map(_.meta).toSeq)
+  }
+
+  /** Closed-form replay of the syntheticPng generator (mirrors the DuckDB
+    * oracle in SparkEntry.oracleSql("q_multimodal")).
+    */
+  private def expectedPng(id: Long): (Int, Int, Int, Long) = {
+    val w = (1L + id % 16L).toInt
+    val h = (1L + id % 11L).toInt
+    val idm = (id % 256L).toInt
+    val gray = id % 2L == 0L
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      if (gray) sum += (7 * x + 13 * y + idm) % 256
+      else sum += (3 * x + 5 * y + idm) % 256 +
+        (11 * x + 2 * y + 3 * idm) % 256 + (x + 7 * y + 5 * idm) % 256
+    }
+    (w, h, if (gray) 1 else 3, sum)
+  }
+
+  test("multimodal real decode: PNG dims/channels/pixel-sum match closed form") {
+    import spark.implicits._
+    val ids = (1L to 40L) ++ Seq(255L, 256L, 1000L, 12345L)
+    val media = ids.map(id => (id, Multimodal.syntheticPng(id))).toDF("doc_id", "payload")
+    val out = Multimodal.decode(media).collect().map(d => d.doc_id -> d).toMap
+    ids.foreach { id =>
+      val (w, h, ch, sum) = expectedPng(id)
+      val d = out(id)
+      assert(d.meta.format == "png", s"doc $id format")
+      assert(d.meta.width == w && d.meta.height == h, s"doc $id dims")
+      assert(d.meta.channels == ch, s"doc $id channels")
+      assert(d.pixel_sum == sum, s"doc $id pixel_sum ${d.pixel_sum} != $sum")
+      assert(d.feature.length == 16 && d.feature.forall(f => f >= 0f && f <= 1f),
+        s"doc $id feature grid")
+    }
+  }
+
+  test("multimodal real decode recognises JPEG/GIF/BMP headers") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    for (fmt <- Seq("jpg", "gif", "bmp")) {
+      val img = new BufferedImage(13, 9, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 9; x <- 0 until 13; b <- 0 until 3)
+        img.getRaster.setSample(x, y, b, (x * 5 + y * 3 + b * 7) % 256)
+      val bos = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK writer for $fmt")
+      val Some((meta, Some(_))) = Multimodal.decodeImage(bos.toByteArray)
+      assert(meta.width == 13 && meta.height == 9, s"$fmt dims")
+      assert(Set("jpeg", "gif", "bmp").contains(meta.format), s"$fmt name ${meta.format}")
+    }
+  }
+
+  test("multimodal feature grid is exact mean intensity on a uniform image") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8) img.getRaster.setSample(x, y, 0, 102)
+    val f = Multimodal.imageFeature(img)
+    assert(f.length == 16)
+    f.foreach(v => assert(math.abs(v - 102f / 255f) < 1e-6f))
+    assert(Multimodal.pixelSum(img) == 102L * 64L)
+  }
+
+  test("multimodal bomb guard: oversized raster yields metadata only") {
+    // Hand-craft a PNG whose IHDR declares 8192x4096 = 32 Mpx (> MaxPixels)
+    // from a few dozen bytes — the decompression-bomb shape. The guard must
+    // report the header metadata WITHOUT attempting the pixel read.
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      bb.putInt(body.length).put(tag.getBytes("US-ASCII")).put(body)
+      val crc = new java.util.zip.CRC32
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(8192).putInt(4096)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val bomb = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", Array[Byte](0x78, 0x01)) ++ chunk("IEND", Array.empty)
+    assert(8192L * 4096L > Multimodal.MaxPixels)
+    val d = Multimodal.decodeOne(7L, bomb)
+    assert(d.meta.format == "png" && d.meta.width == 8192 && d.meta.height == 4096)
+    assert(d.pixel_sum == -1L && d.feature.isEmpty)
   }
 }

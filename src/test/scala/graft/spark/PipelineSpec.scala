@@ -195,4 +195,32 @@ class PipelineSpec extends AnyFunSuite {
     ExtractJob.run(spark, ExtractJob.Args(in, out, buckets = 4, passes = 2, resume = true))
     assert(spark.read.parquet(s"$tmp/out/data/pass=0").count() == before)
   }
+
+  test("fatal VM errors propagate out of the extraction guard; data errors degrade") {
+    val t = TranscriptTurn("c", 0, "user", "<p>x</p>", "",
+      new java.sql.Timestamp(0L))
+    // parse-shaped failures degrade to the error column (poison-row contract)
+    val degraded = Extraction.guardedExtract(t, 8L)(throw new RuntimeException("boom"))
+    assert(degraded.budget_error == "internal:RuntimeException")
+    assert(degraded.extracted_text == "")
+    // recursion overflow on adversarial DOM depth degrades too
+    assert(Extraction.guardedExtract(t, 0L)(throw new StackOverflowError())
+      .budget_error == "internal:StackOverflowError")
+    // fatal VM errors must FAIL the task (Spark retries it), never masquerade
+    // as an empty extraction row
+    intercept[OutOfMemoryError] {
+      Extraction.guardedExtract(t, 0L)(throw new OutOfMemoryError("injected"))
+    }
+    intercept[InternalError] {
+      Extraction.guardedExtract(t, 0L)(throw new InternalError("injected"))
+    }
+    // a poison document still lands in the error column end-to-end: on the
+    // 64 MiB extraction worker stack this trips maxDepth post-build; on a
+    // small test-thread stack the build overflows first — both degrade
+    val poison = Extraction.extractOne(
+      t.copy(text = "<div>" * 100000), Extraction.DefaultBudgets,
+      graft.core.VisibleTextOptions())
+    assert(poison.budget_error.startsWith("budget:") ||
+      poison.budget_error == "internal:StackOverflowError", poison.budget_error)
+  }
 }
