@@ -199,10 +199,16 @@ object Bench {
     */
   private val ScalingPlan: Seq[Seq[(Int, Int)]] = Seq(
     Seq(4 -> 3, 1 -> 2),
+    Seq(2 -> 3, 8 -> 3),
     Seq(4 -> 3, 1 -> 2),
+    Seq(8 -> 3, 2 -> 3), // reversed: spread throttle bias across both orders
     Seq(4 -> 3, 1 -> 2),
-    Seq(4 -> 3, 1 -> 2),
-    Seq(2 -> 3, 8 -> 3))
+    Seq(2 -> 2, 8 -> 2),
+    Seq(4 -> 3, 1 -> 2))
+  // totals: 12 runs at 4 exec (headline), 8 each at 1/2/8 — every level gets
+  // >= 8 draws so the 1->2 and 2->8 medians stop being 3-run noise (r3's
+  // soft spot: a 3-draw 2-exec level produced a 0.756 1->2 figure purely
+  // from throttle-window luck)
 
   /** The host throttles intermittently once >4 vCPUs are busy (BASELINE.md);
     * a throttle window landing on 4-executor visits biases the headline

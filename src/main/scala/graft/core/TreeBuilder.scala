@@ -817,18 +817,20 @@ final class TreeBuilder(
         case "select" =>
           // _resetInsertionModeForSelect (parser/index.js:632-646) is also
           // tagID-based: the ancestor walk stops at ANY element named
-          // template / matches ANY element named table, namespace-blind
-          mode = InSelect
+          // template / matches ANY element named table, namespace-blind.
+          // parse5 assigns this.insertionMode ONCE with the final answer, so
+          // the trace must see a single transition — compute before setting
+          // (a provisional InSelect then a correction would emit two events)
+          var target = InSelect
           var j = i
-          var foundTable = false
           var stop = false
           while (j > 0 && !stop) {
             j -= 1
             val anc = stack(j)
             if (anc.tagName == "template") stop = true
-            else if (anc.tagName == "table") { foundTable = true; stop = true }
+            else if (anc.tagName == "table") { target = InSelectInTable; stop = true }
           }
-          if (foundTable) mode = InSelectInTable
+          mode = target
           done = true
         case "td" | "th" if !last => mode = InCell; done = true
         case "tr"                 => mode = InRow; done = true

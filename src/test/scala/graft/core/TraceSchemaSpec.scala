@@ -111,4 +111,38 @@ class TraceSchemaSpec extends AnyFunSuite {
   test("trace is absent by default") {
     assert(HtmlParser.parse("<p>x</p>").trace.isEmpty)
   }
+
+  /** Round-4 sweep regression (seeds 0x7A7A7A01 / 0x5EED900D): parse5's
+    * `_resetInsertionModeForSelect` (parser/index.js:632-646) assigns
+    * `insertionMode` ONCE with the final answer, so resetting inside
+    * `<table><select><template>` must trace a single
+    * `* -> IN_SELECT_IN_TABLE` transition — a provisional IN_SELECT followed
+    * by a correction emitted two events. Expected sequences captured from
+    * the reference's executable via ref_extract_dump.mjs.
+    */
+  test("select-in-table-in-template reset traces one transition (r4 regression)") {
+    def transitions(html: String): Vector[(String, String)] =
+      traced(html).collect {
+        case t: TraceInsertionModeTransitionEvent => (t.fromMode, t.toMode)
+      }
+    val common = Vector(
+      "INITIAL" -> "BEFORE_HTML", "BEFORE_HTML" -> "BEFORE_HEAD",
+      "BEFORE_HEAD" -> "IN_HEAD", "IN_HEAD" -> "AFTER_HEAD",
+      "AFTER_HEAD" -> "IN_BODY", "IN_BODY" -> "IN_TABLE",
+      "IN_TABLE" -> "IN_SELECT_IN_TABLE",
+      "IN_SELECT_IN_TABLE" -> "IN_TEMPLATE")
+    // </template> pops template modes, then resetInsertionMode lands
+    // directly on IN_SELECT_IN_TABLE (select below a table on the stack)
+    assert(transitions("<table><select><template>x</template></select></table>") ==
+      common ++ Vector(
+        "IN_TEMPLATE" -> "IN_SELECT_IN_TABLE",
+        "IN_SELECT_IN_TABLE" -> "IN_TABLE", "IN_TABLE" -> "IN_BODY"))
+    // premature </select> inside the template: ul switched to IN_BODY,
+    // </template> reset must again be a single hop to IN_SELECT_IN_TABLE
+    assert(transitions("<table><select><template><ul>a</select></template></table>y") ==
+      common ++ Vector(
+        "IN_TEMPLATE" -> "IN_BODY",
+        "IN_BODY" -> "IN_SELECT_IN_TABLE",
+        "IN_SELECT_IN_TABLE" -> "IN_TABLE", "IN_TABLE" -> "IN_BODY"))
+  }
 }
