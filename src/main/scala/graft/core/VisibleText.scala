@@ -456,20 +456,23 @@ object VisibleText {
   private def isSpaceTabFf(c: Char): Boolean = c == ' ' || c == '\t' || c == '\f'
 
   private def normalizeSourceChars(in: CharStream, trim: Boolean): CharStream = {
-    // pass 1: strip space/tab/ff before newlines (backtracking write pointer)
+    // pass 1: strip space/tab/ff before newlines (backtracking write
+    // pointer). Operates IN PLACE on the stream handed in — the only call
+    // site feeds the fresh per-document arrays from chunksToChars, and the
+    // write pointer never passes the read pointer, so a second char[]+ref[]
+    // pair per document (this pipeline touches every char of every turn)
+    // would be pure allocation churn.
     val n = in.end
-    val cs = in.chars
-    val ms = in.metas
-    val c1 = new Array[Char](n)
-    val m1 = new Array[SourceMeta](n)
+    val c1 = in.chars
+    val m1 = in.metas
     var w = 0
     var i = in.start
     while (i < n) {
-      val c = cs(i)
+      val c = c1(i)
       if (c == '\n') {
         while (w > 0 && isSpaceTabFf(c1(w - 1))) w -= 1
       }
-      c1(w) = c; m1(w) = ms(i); w += 1
+      c1(w) = c; m1(w) = m1(i); w += 1
       i += 1
     }
     // pass 2 (fused, in place — the write index never passes the read

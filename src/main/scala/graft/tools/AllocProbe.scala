@@ -1,0 +1,45 @@
+package graft.tools
+
+import graft.core._
+import graft.pipeline.{Extraction, TranscriptTurn, Transcripts}
+
+/** Throttle-immune perf probe: allocated bytes per operation via
+  * ThreadMXBean (deterministic on a warmed JVM regardless of host noise —
+  * this sandbox throttles intermittently, making wall-clock micro A/Bs
+  * useless, but allocation per op is exact).
+  */
+object AllocProbe {
+  def main(args: Array[String]): Unit = {
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread.getId
+    val n = 20000
+    val htmls = (0 until n).map(i => Transcripts.htmlFor(i.toLong * 2654435761L, i)).toArray
+    val turns = (0 until n).map(i =>
+      TranscriptTurn(f"c$i%06d", i, "user", htmls(i), "", new java.sql.Timestamp(0L))).toArray
+
+    def measure(name: String)(f: Int => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(i); i += 1 } // warm: JIT + allocation paths settle
+      val a0 = tmx.getThreadAllocatedBytes(tid)
+      i = 0
+      while (i < n) { f(i); i += 1 }
+      val per = (tmx.getThreadAllocatedBytes(tid) - a0).toDouble / n
+      println(f"$name%-34s $per%10.0f bytes/op")
+    }
+
+    measure("parse")(i => HtmlParser.parse(htmls(i)))
+    measure("parse+captureSpans")(i =>
+      HtmlParser.parse(htmls(i), ParseOptions(captureSpans = true)))
+    measure("parse+visibleText") { i =>
+      VisibleText.ofDocument(HtmlParser.parse(htmls(i))); ()
+    }
+    measure("parse+vt+tokensWithProvenance") { i =>
+      val t = HtmlParser.parse(htmls(i), ParseOptions(captureSpans = true))
+      VisibleText.ofDocument(t)
+      VisibleText.tokensWithProvenance(t.children); ()
+    }
+    measure("extractOne (full)")(i =>
+      Extraction.extractOne(turns(i), Extraction.DefaultBudgets, VisibleTextOptions()))
+  }
+}
