@@ -93,6 +93,36 @@ object PlanAudit {
         !qualPlan.contains("BatchEvalPython"),
       qualPlan)
 
+    // 10. multimodal decode: shuffle-free mapPartitions over a scan pruned
+    //     to (doc_id, text) — feature/meta work is map-side everywhere
+    val mm = graft.SparkEntry.queries("q_multimodal")(spark, sfDir)
+    val mmPlan = mm.queryExecution.executedPlan.toString
+    check("q_multimodal decode is shuffle-free")(
+      !mmPlan.contains("Exchange"), mmPlan)
+    check("q_multimodal prunes scan (no lang/source cols)")(
+      !mmPlan.contains("lang") && !mmPlan.contains("source,"), mmPlan)
+
+    // 11. conversation digest Aggregator: partial (ObjectHashAggregate /
+    //     SortAggregate partial) before the exchange — O(1) state per group,
+    //     never a collect_list-style row concentration
+    val cd = graft.SparkEntry.queries("q_conv_digest")(spark, sfDir)
+    val cdPlan = cd.queryExecution.executedPlan.toString
+    check("q_conv_digest partial-aggregates before its exchange")(
+      (cdPlan.contains("Aggregate")) &&
+        cdPlan.indexOf("Aggregate") < cdPlan.indexOf("Exchange"), cdPlan)
+
+    // 12. near-dup candidate pipeline: banded bucket joins only
+    val nd = graft.SparkEntry.queries("q_near_dup_pairs")(spark, sfDir)
+    val ndPlan = nd.queryExecution.executedPlan.toString
+    check("q_near_dup_pairs has no cartesian product")(
+      !ndPlan.contains("CartesianProduct"), ndPlan)
+
+    // 13. LSH top-k: bucket-keyed join + windowed rank, no cartesian
+    val lt = graft.SparkEntry.queries("q_ann_lsh_topk")(spark, sfDir)
+    val ltPlan = lt.queryExecution.executedPlan.toString
+    check("q_ann_lsh_topk joins on bucket key (no cartesian)")(
+      !ltPlan.contains("CartesianProduct"), ltPlan)
+
     println(if (failures == 0) "ALL PLAN CHECKS PASSED" else s"$failures CHECKS FAILED")
     spark.stop()
     if (failures > 0) sys.exit(1)
