@@ -588,6 +588,22 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // IVF coarse-quantized ANN with the training-free seeded centroids, so
+    // the oracle can restate the centroid coordinates as exact dyadic
+    // rationals and replay assignment, probe selection, and ranking.
+    // (kmeansTrain-ed centroids are exercised in OpsSpec against brute force.)
+    "q_ann_ivf_lists" -> ((s, dir) =>
+      Similarity.ivfLists(embeddings(s, dir), Similarity.ivfCentroids(8, 64, 42L))
+        .toDF()
+        .select(col("vec_id"), col("list_id").cast("long").as("list_id"))),
+
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+          centroids = Similarity.ivfCentroids(8, 64, 42L), nProbe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     // ---- multimodal: REAL javax.imageio decode over deterministic PNGs.
     // Every doc_id not divisible by 7 carries Multimodal.syntheticPng(id)
     // (closed-form pixels); the rest carry raw text bytes to exercise the
@@ -712,6 +728,41 @@ object SparkEntry {
       "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank, " +
       "neighbor_id FROM scored QUALIFY rank <= 5"
   }
+
+  /** IVF oracle scaffolding: the 8×64 seeded centroid matrix as exact
+    * dyadic-rational literals (numerator/2^23 − 1, the same integers
+    * [[Similarity.ivfCentroidNumerator]] produces), and the per-vector
+    * squared-L2 distance list as a left-fold over `(e_i − c_i)²` — the
+    * identical double-accumulation order [[Similarity.sqDist]] uses.
+    */
+  private lazy val ivfDistancesCteSql: String = {
+    val csLit = (0 until 8).map { c =>
+      (0 until 64).map { d =>
+        s"(${Similarity.ivfCentroidNumerator(c, d, 42L)}/8388608.0 - 1.0)"
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+    s"WITH cs(cl) AS (SELECT $csLit), " +
+      "ds AS (SELECT vec_id, embedding, list_transform(range(0,8), c -> " +
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0,64), i -> " +
+      "(embedding[i+1]-cl[c+1][i+1])*(embedding[i+1]-cl[c+1][i+1]))), " +
+      "(acc, x) -> acc + x)) AS d FROM embeddings, cs)"
+  }
+
+  private lazy val ivfListsOracleSql: String =
+    s"$ivfDistancesCteSql SELECT vec_id, " +
+      "CAST(list_position(d, list_min(d)) - 1 AS BIGINT) AS list_id FROM ds"
+
+  private lazy val ivfTopKOracleSql: String =
+    s"$ivfDistancesCteSql, " +
+      "assigned AS (SELECT vec_id, embedding, list_position(d, list_min(d)) - 1 AS list_id FROM ds), " +
+      "probes AS (SELECT vec_id AS query_id, embedding AS q_embedding, i AS list_id " +
+      "FROM ds, range(0,8) t(i) WHERE vec_id < 20 " +
+      "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d[i+1], i) <= 2), " +
+      "scored AS (SELECT p.query_id, b.vec_id AS neighbor_id, " +
+      "list_cosine_similarity(p.q_embedding, b.embedding) AS sim " +
+      "FROM probes p JOIN assigned b USING (list_id) WHERE b.vec_id != p.query_id) " +
+      "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank, " +
+      "neighbor_id FROM scored QUALIFY rank <= 5"
 
   def oracleSql: Map[String, String] = Map(
     "q_visible_text" ->
@@ -912,6 +963,10 @@ object SparkEntry {
       s"SELECT vec_id, CAST($lshBucketExprSql AS BIGINT) AS bucket FROM embeddings",
 
     "q_ann_lsh_topk" -> lshTopKOracleSql,
+
+    "q_ann_ivf_lists" -> ivfListsOracleSql,
+
+    "q_ann_ivf_topk" -> ivfTopKOracleSql,
 
     "q_simhash" -> simhashOracleSql,
 

@@ -212,4 +212,192 @@ object Similarity {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucket)
+
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) coarse quantization — the second scale path.
+  //
+  // Base vectors are assigned to their nearest coarse centroid (the
+  // "inverted list"); a query scans only the `nProbe` lists whose centroids
+  // are nearest to it, then exact-ranks. At 100 TB the base side
+  // hash-partitions by list_id, so a probe is a hash-join key lookup rather
+  // than a corpus scan, and list width is capped like the LSH buckets.
+
+  /** Deterministic seeded coarse centroids. Every component is an exact
+    * dyadic rational (k / 2^23) so an external double-precision oracle can
+    * restate the centroid literally (same construction as [[hyperplanes]],
+    * distinct mixing constant so seeds do not collide with the LSH planes).
+    * Components are Double, and all distance math stays in double — float32
+    * intermediates would not be replayable from SQL.
+    */
+  def ivfCentroidNumerator(list: Int, d: Int, seed: Long): Long = {
+    var x = seed ^ (list * 0xbf58476d1ce4e5b9L) ^ (d * 0x94d049bb133111ebL)
+    x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+    (x * 0x2545f4914f6cdd1dL) >>> 40
+  }
+
+  def ivfCentroids(nLists: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nLists) { c =>
+      Array.tabulate(dim) { d =>
+        ivfCentroidNumerator(c, d, seed).toDouble / (1 << 23).toDouble - 1.0
+      }
+    }
+
+  /** Squared L2 distance to one centroid: left-to-right double
+    * accumulation over the float32 components — bit-identical to the SQL
+    * `(embedding[1]-c1)*(embedding[1]-c1) + ...` restatement.
+    */
+  def sqDist(emb: Array[Float], c: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < emb.length) {
+      val diff = emb(i).toDouble - c(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** Nearest-centroid list id; strict `<` keeps the FIRST minimum, matching
+    * a first-occurrence index lookup on the oracle side.
+    */
+  def assignList(emb: Array[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = sqDist(emb, centroids(0))
+    var c = 1
+    while (c < centroids.length) {
+      val d = sqDist(emb, centroids(c))
+      if (d < bestD) { best = c; bestD = d }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nProbe` nearest list ids of a query vector, tie-broken by lower
+    * list id (ascending (distance, id) sort — replayable as a SQL window).
+    */
+  def probeLists(emb: Array[Float], centroids: Array[Array[Double]],
+                 nProbe: Int): Array[Int] = {
+    Array.tabulate(centroids.length)(c => (sqDist(emb, centroids(c)), c))
+      .sortBy(t => (t._1, t._2))
+      .take(math.min(nProbe, centroids.length))
+      .map(_._2)
+  }
+
+  final case class ListedVec(vec_id: Long, list_id: Int)
+
+  /** Assign every base vector to its inverted list. */
+  def ivfLists(base: DataFrame, centroids: Array[Array[Double]]): Dataset[ListedVec] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(centroids)
+    base.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, emb) => ListedVec(id, assignList(emb, cB.value)) })
+  }
+
+  /** Lloyd's k-means over the base vectors, DETERMINISTIC across
+    * partitionings: per-list component sums accumulate in 34.30 fixed point
+    * (`round(v * 2^30)` as Long), so the cross-partition combine is integer
+    * addition — associative and commutative — instead of order-sensitive
+    * double addition. Init is [[ivfCentroids]]; an emptied list keeps its
+    * previous centroid. One shuffle of `nLists` tiny rows per iteration;
+    * vectors never leave their partitions.
+    */
+  def kmeansTrain(base: DataFrame, nLists: Int, iters: Int, seed: Long,
+                  dim: Int): Array[Array[Double]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val SCALE = 1L << 30
+    var centroids = ivfCentroids(nLists, dim, seed)
+    val vecs = base.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    var it = 0
+    while (it < iters) {
+      val cB = spark.sparkContext.broadcast(centroids)
+      val partials = vecs.mapPartitions { rows =>
+        val cs = cB.value
+        val counts = new Array[Long](cs.length)
+        val sums = Array.ofDim[Long](cs.length, dim)
+        rows.foreach { case (_, emb) =>
+          val l = assignList(emb, cs)
+          counts(l) += 1L
+          var i = 0
+          while (i < dim) { sums(l)(i) += math.round(emb(i).toDouble * SCALE); i += 1 }
+        }
+        Iterator.tabulate(cs.length)(l => (l, counts(l), sums(l)))
+      }
+      val folded = partials
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Long](dim)
+          var i = 0
+          while (i < dim) { s(i) = a._3(i) + b._3(i); i += 1 }
+          (a._1, a._2 + b._2, s)
+        }
+        .map(_._2)
+        .collect()
+      val next = centroids.map(_.clone())
+      folded.foreach { case (l, n, s) =>
+        if (n > 0L) {
+          var i = 0
+          while (i < dim) { next(l)(i) = s(i).toDouble / (n.toDouble * SCALE); i += 1 }
+        }
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** ANN via IVF lists: assign the base once, probe the `nProbe` nearest
+    * lists per query, exact-rank inside the probed lists. Pass trained
+    * centroids from [[kmeansTrain]] for recall, or [[ivfCentroids]] for a
+    * training-free (and externally replayable) index. `maxList` drops
+    * degenerate lists from scoring — [[ivfOverflowLists]] reports the drops.
+    */
+  def ivfTopK(base: DataFrame, queries: DataFrame, k: Int,
+              centroids: Array[Array[Double]], nProbe: Int = 2,
+              maxList: Int = 1 << 20): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(centroids)
+
+    val baseL = base.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, emb, assignList(emb, cB.value)) }
+      .toDF("vec_id", "embedding", "list_id")
+
+    val okLists = baseL.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxList)
+      .select(col("list_id"))
+
+    val probes = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        probeLists(emb, cB.value, nProbe).map(l => (id, emb, l))
+      }
+      .toDF("query_id", "q_embedding", "list_id")
+
+    val scored = probes.join(okLists, Seq("list_id")).join(baseL, Seq("list_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .as[(Int, Long, Array[Float], Long, Array[Float])]
+      .map { case (_, qid, qe, nid, ne) => Neighbor(qid, nid, cosine(qe, ne)) }
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
+  /** Lists dropped by [[ivfTopK]]'s width cap: (list_id, n_docs) for every
+    * inverted list wider than `maxList`.
+    */
+  def ivfOverflowLists(base: DataFrame, centroids: Array[Array[Double]],
+                       maxList: Int = 1 << 20): DataFrame =
+    ivfLists(base, centroids).toDF()
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxList)
 }

@@ -171,6 +171,64 @@ class OpsSpec extends AnyFunSuite {
       maxBucket = 64).count() == 1L)
   }
 
+  test("IVF top-k with seeded centroids matches a local reference") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(d => math.sin(seed * 131 + d * 17).toFloat)
+    val base = (0L until 120L).map(i => (i, vec(i.toInt)))
+    val df = base.toDF("vec_id", "embedding")
+    val cs = Similarity.ivfCentroids(4, 16, 42L)
+    val out = Similarity.ivfTopK(df, df.filter(col("vec_id") < 3), k = 4,
+        centroids = cs, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      .groupBy(_._1)
+    // local replay: assign, probe 2 nearest lists, exact-rank inside them
+    val assigned = base.map { case (id, e) => (id, Similarity.assignList(e, cs)) }.toMap
+    for (q <- 0L until 3L) {
+      val probed = Similarity.probeLists(vec(q.toInt), cs, 2).toSet
+      val expected = base
+        .filter { case (id, _) => id != q && probed.contains(assigned(id)) }
+        .map { case (id, e) => (id, Similarity.cosine(vec(q.toInt), e)) }
+        .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1).toList
+      val got = out(q).sortBy(_._2).map(_._3)
+      assert(got == expected, s"query $q: got $got expected $expected")
+    }
+  }
+
+  test("kmeansTrain is deterministic across partitionings and cuts quantization error") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] = {
+      val rnd = new java.util.Random(seed * 2654435761L)
+      Array.fill(8)(rnd.nextFloat() * 2f - 1f)
+    }
+    val base = (0L until 300L).map(i => (i, vec(i.toInt)))
+    val df1 = base.toDF("vec_id", "embedding").repartition(1)
+    val df7 = base.toDF("vec_id", "embedding").repartition(7)
+    val c1 = Similarity.kmeansTrain(df1, nLists = 4, iters = 3, seed = 42L, dim = 8)
+    val c7 = Similarity.kmeansTrain(df7, nLists = 4, iters = 3, seed = 42L, dim = 8)
+    // fixed-point accumulation makes the combine order-independent: the
+    // trained centroids are BIT-identical regardless of partitioning
+    assert(c1.map(_.toList).toList == c7.map(_.toList).toList)
+    // Lloyd iterations must not increase total quantization error vs init
+    def qErr(cs: Array[Array[Double]]): Double =
+      base.map { case (_, e) => Similarity.sqDist(e, cs(Similarity.assignList(e, cs))) }.sum
+    val init = Similarity.ivfCentroids(4, 8, 42L)
+    assert(qErr(c1) < qErr(init), s"trained=${qErr(c1)} init=${qErr(init)}")
+  }
+
+  test("IVF width cap drops degenerate lists and reports the overflow") {
+    import spark.implicits._
+    val emb = Array.tabulate(16)(d => (d + 1).toFloat / 16f)
+    val df = (0L until 5000L).map(i => (i, emb)).toDF("vec_id", "embedding")
+    val cs = Similarity.ivfCentroids(4, 16, 42L)
+    val topk = Similarity.ivfTopK(df, df.filter(col("vec_id") < 3), k = 5,
+      centroids = cs, nProbe = 2, maxList = 64)
+    assert(topk.count() == 0L)
+    val overflow = Similarity.ivfOverflowLists(df, cs, maxList = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(overflow.length == 1 && overflow.head._2 == 5000L, overflow.toList)
+  }
+
   test("nPlanesFor sizes the bucket space to the corpus") {
     assert(Similarity.nPlanesFor(10000L, 64) == 8)
     assert(Similarity.nPlanesFor(1000000000L, 64) == 24)
