@@ -52,7 +52,17 @@ final class DomElement(
     var tagName: String, // lowercase local name
     var namespace: Int
 ) extends DomParent {
-  val attrs: ArrayBuffer[DomAttr] = new ArrayBuffer[DomAttr](4)
+  // attrs buffer is LAZY: most elements carry none, and the empty buffer
+  // (object + backing array) was a measurable slice of per-parse allocation.
+  // Reads go through the non-allocating accessors below; only addAttr
+  // materializes the buffer.
+  private var attrsV: ArrayBuffer[DomAttr] = null
+  def addAttr(a: DomAttr): Unit = {
+    if (attrsV == null) attrsV = new ArrayBuffer[DomAttr](4)
+    attrsV += a
+  }
+  def attrCount: Int = if (attrsV == null) 0 else attrsV.length
+  def attrAt(i: Int): DomAttr = attrsV(i)
   var templateContent: DomFragment = null
   // span bookkeeping (UTF-16 code-unit offsets into the original input)
   var startTagEnd: Int = -1
@@ -66,9 +76,10 @@ final class DomElement(
   var scopeFlagsV: Int = -1
 
   def attr(n: String): String = {
+    if (attrsV == null) return null
     var i = 0
-    while (i < attrs.length) {
-      if (attrs(i).name == n) return attrs(i).value
+    while (i < attrsV.length) {
+      if (attrsV(i).name == n) return attrsV(i).value
       i += 1
     }
     null
@@ -86,7 +97,28 @@ final class DomElement(
   }
 }
 
-final class DomText(var value: java.lang.StringBuilder) extends DomNode
+/** Text node. The common case is a SINGLE character run: the run's string
+  * is held directly and never recopied; a StringBuilder materializes only
+  * when a second run merges in (and collapses back to a cached string on
+  * the first read).
+  */
+final class DomText(private var first: String) extends DomNode {
+  private var sb: java.lang.StringBuilder = null
+
+  def append(data: String): Unit = {
+    if (sb == null) {
+      sb = new java.lang.StringBuilder(first.length + data.length + 16)
+      sb.append(first)
+      first = null
+    }
+    sb.append(data)
+  }
+
+  def text: String = {
+    if (sb != null) { first = sb.toString; sb = null }
+    first
+  }
+}
 
 final class DomComment(var value: String) extends DomNode
 

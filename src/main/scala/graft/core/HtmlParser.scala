@@ -270,7 +270,7 @@ object HtmlParser {
       state.nodeCount += 1
       state.checkBudgets(depth)
       val sp = spanOf(t, state.captureSpans)
-      TextNode(assigner.next(), t.value.toString, provenanceOf(sp, state.captureSpans), sp)
+      TextNode(assigner.next(), t.text, provenanceOf(sp, state.captureSpans), sp)
     case c: DomComment =>
       state.nodeCount += 1
       state.checkBudgets(depth)
@@ -301,7 +301,11 @@ object HtmlParser {
       // (index loops: the closure-based foreach showed up in parse profiles)
       val kids =
         if (el.children.isEmpty) Vector.empty[HtmlNode]
-        else {
+        else if (el.children.length == 1) {
+          // single-child fast path: skip the 32-slot VectorBuilder
+          val c0 = convertNode(el.children(0), depth + 1, assigner, state)
+          if (c0 == null) Vector.empty[HtmlNode] else Vector(c0)
+        } else {
           val b = Vector.newBuilder[HtmlNode]
           var i = 0
           while (i < el.children.length) {
@@ -312,7 +316,7 @@ object HtmlParser {
           b.result()
         }
       val attrs =
-        if (el.attrs.isEmpty) Vector.empty[Attr]
+        if (el.attrCount == 0) Vector.empty[Attr]
         else {
           // Mirrors the reference's public attribute normalization
           // (build.ts:195-235): the parser-adjusted attr surfaces under its
@@ -329,15 +333,24 @@ object HtmlParser {
           // so dedup-by-exact-name already happened in the tokenizer)
           var anyAdjusted = false
           var j = 0
-          while (j < el.attrs.length && !anyAdjusted) {
-            if (attrWasAdjusted(el.attrs(j).name)) anyAdjusted = true
+          while (j < el.attrCount && !anyAdjusted) {
+            if (attrWasAdjusted(el.attrAt(j).name)) anyAdjusted = true
             j += 1
           }
+          if (!anyAdjusted && el.attrCount == 1) {
+            // single-attr fast path: skip the 32-slot VectorBuilder
+            val a = el.attrAt(0)
+            val sp =
+              if (state.captureSpans && a.start >= 0 && a.end >= a.start)
+                Some(Span(a.start, a.end))
+              else None
+            Vector(Attr(a.name, a.value, sp))
+          } else {
           val b = Vector.newBuilder[Attr]
           val seen = if (anyAdjusted) new java.util.HashSet[String]() else null
           var i = 0
-          while (i < el.attrs.length) {
-            val a = el.attrs(i)
+          while (i < el.attrCount) {
+            val a = el.attrAt(i)
             val adjusted = anyAdjusted && attrWasAdjusted(a.name)
             val name = if (adjusted) publicAttrName(a.name) else a.name
             if (seen == null || seen.add(name)) {
@@ -350,6 +363,7 @@ object HtmlParser {
             i += 1
           }
           b.result()
+          }
         }
       val elSpan = spanOf(el, state.captureSpans).orElse {
         if (state.captureSpans && el.startOffset >= 0 && el.startTagEnd >= el.startOffset)
@@ -367,26 +381,36 @@ object HtmlParser {
     case _ => null
   }
 
-  /** Node/depth metrics over the public tree (reference: mod.ts:441-473). */
+  /** Node/depth metrics over the public tree (reference: mod.ts:441-473).
+    * Packed-long return (nodes << 32 | maxDepth): this runs once per parsed
+    * document over every node — per-node tuple boxing showed up in the
+    * allocation probe.
+    */
   private def collectMetrics(children: Vector[HtmlNode]): (Int, Int) = {
-    def walk(n: HtmlNode, depth: Int): (Int, Int) = n match {
+    def walk(n: HtmlNode, depth: Int): Long = n match {
       case e: ElementNode =>
         var nodes = 1
         var maxDepth = depth
-        e.children.foreach { c =>
-          val (cn, cd) = walk(c, depth + 1)
-          nodes += cn
+        var i = 0
+        while (i < e.children.length) {
+          val packed = walk(e.children(i), depth + 1)
+          nodes += (packed >>> 32).toInt
+          val cd = (packed & 0xffffffffL).toInt
           if (cd > maxDepth) maxDepth = cd
+          i += 1
         }
-        (nodes, maxDepth)
-      case _ => (1, depth)
+        (nodes.toLong << 32) | maxDepth.toLong
+      case _ => (1L << 32) | depth.toLong
     }
     var totalNodes = 0
     var maxDepth = 1
-    children.foreach { c =>
-      val (n, d) = walk(c, 2)
-      totalNodes += n
+    var i = 0
+    while (i < children.length) {
+      val packed = walk(children(i), 2)
+      totalNodes += (packed >>> 32).toInt
+      val d = (packed & 0xffffffffL).toInt
       if (d > maxDepth) maxDepth = d
+      i += 1
     }
     (totalNodes, maxDepth)
   }
@@ -435,9 +459,9 @@ object CompatPatch {
       val applicable = isBareElement(left, "select") && isBareElement(right, "option") && {
         val sel = left.asInstanceOf[DomElement]
         val opt = right.asInstanceOf[DomElement]
-        sel.attrs.isEmpty && opt.attrs.isEmpty &&
+        sel.attrCount == 0 && opt.attrCount == 0 &&
         sel.children.length == 1 && isBareElement(sel.children(0), "option") &&
-        sel.children(0).asInstanceOf[DomElement].attrs.isEmpty
+        sel.children(0).asInstanceOf[DomElement].attrCount == 0
       }
       if (applicable) {
         val sel = left.asInstanceOf[DomElement]

@@ -84,14 +84,14 @@ object Serializer {
 
   private def serializeInternalNode(node: DomNode, sb: java.lang.StringBuilder): Unit =
     node match {
-      case t: DomText => sb.append(escapeText(t.value.toString))
+      case t: DomText => sb.append(escapeText(t.text))
       case c: DomComment =>
         sb.append("<!--").append(c.value).append("-->")
       case d: DomDoctype =>
         sb.append("<!DOCTYPE ").append(d.name).append('>')
       case el: DomElement =>
         sb.append('<').append(el.internalName)
-        el.attrs.foreach { a =>
+        var ai = 0; while (ai < el.attrCount) { val a = el.attrAt(ai); ai += 1;
           sb.append(' ').append(a.name)
           chooseQuote(a.value) match {
             case None => sb.append('=').append(escapeAttributeWith(a.value, '"'))
@@ -122,12 +122,12 @@ object Serializer {
     node match {
       case el: DomElement =>
         lines += s"| ${indent(level)}<${el.internalName}>"
-        el.attrs.foreach { a =>
+        var ai = 0; while (ai < el.attrCount) { val a = el.attrAt(ai); ai += 1;
           lines += s"| ${indent(level + 1)}${a.name}=${"\""}${a.value}${"\""}"
         }
         el.children.foreach(c => normalizeNode(c, level + 1, lines))
       case t: DomText =>
-        lines += s"| ${indent(level)}${"\""}${t.value.toString}${"\""}"
+        lines += s"| ${indent(level)}${"\""}${t.text}${"\""}"
       case c: DomComment =>
         lines += s"| ${indent(level)}<!-- ${c.value} -->"
       case d: DomDoctype =>

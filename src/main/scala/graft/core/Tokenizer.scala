@@ -420,10 +420,13 @@ final class Tokenizer(input: String, sink: TokenSink) {
   // --- tag helpers ---
   private var fastTagName: String = null
 
+  // one reused token per parse: sinks consume tags synchronously and copy
+  // what they retain (TokenSink contract), so per-tag allocation is waste
+  private val reusableTag = new TagToken
+
   private def startTag(isEnd: Boolean): Unit = {
-    tag = new TagToken
-    tag.isEnd = isEnd
-    tag.start = tokenStart
+    tag = reusableTag
+    tag.reset(isEnd, tokenStart)
     nameBuf.clear()
     fastTagName = null
   }
@@ -483,7 +486,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
       err("duplicate-attribute")
       attrSkip = true
     } else {
-      tag.attrs += new TokAttr(n, "", attrStart, pos - 1)
+      tag.addAttr(n, attrStart, pos - 1)
     }
     attrValueBuf.clear()
     attrHasValue = false

@@ -19,6 +19,30 @@ final class TagToken {
   var start: Int = 0
   var end: Int = 0
 
+  // The tokenizer reuses ONE TagToken (and its TokAttr slots) for every tag
+  // in a parse — sinks receive it synchronously and must copy what they
+  // keep (all in-repo sinks already do). `pool` keeps retired TokAttr
+  // instances for reuse; `attrs` holds the live prefix for the current tag.
+  private val pool: ArrayBuffer[TokAttr] = new ArrayBuffer[TokAttr](4)
+
+  def reset(isEndTag: Boolean, startOffset: Int): Unit = {
+    name = ""
+    isEnd = isEndTag
+    selfClosing = false
+    ackSelfClosing = false
+    start = startOffset
+    end = 0
+    attrs.clear()
+  }
+
+  def addAttr(n: String, s: Int, e: Int): Unit = {
+    val a =
+      if (pool.length > attrs.length) pool(attrs.length)
+      else { val x = new TokAttr("", "", 0, 0); pool += x; x }
+    a.name = n; a.value = ""; a.start = s; a.end = e
+    attrs += a
+  }
+
   def attr(n: String): String = {
     var i = 0
     while (i < attrs.length) {
@@ -41,6 +65,10 @@ final class DoctypeTok {
 
 /** Receives the token stream. The tree builder implements this; a trivial
   * collecting sink backs the standalone `tokenize` API.
+  *
+  * CONTRACT: the `TagToken`/`DoctypeTok` objects passed to the callbacks
+  * are REUSED by the tokenizer after the callback returns — a sink must
+  * copy any fields (including attr entries) it keeps past the call.
   */
 trait TokenSink {
   /** Non-whitespace, non-NUL character run. */

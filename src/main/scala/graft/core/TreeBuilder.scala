@@ -424,7 +424,7 @@ final class TreeBuilder(
     var i = 0
     while (i < tag.attrs.length) {
       val a = tag.attrs(i)
-      el.attrs += new DomAttr(a.name, a.value, a.start, a.end)
+      el.addAttr(new DomAttr(a.name, a.value, a.start, a.end))
       i += 1
     }
     if (captureSpans) {
@@ -526,11 +526,11 @@ final class TreeBuilder(
       }
     prev match {
       case t: DomText =>
-        t.value.append(data)
+        t.append(data)
         if (captureSpans && end >= 0) t.endOffset = end
         t
       case _ =>
-        val t = new DomText(new java.lang.StringBuilder(data))
+        val t = new DomText(data)
         if (captureSpans) { t.startOffset = start; t.endOffset = end }
         insertNodeAt(loc, t)
         t
@@ -642,7 +642,7 @@ final class TreeBuilder(
       while (ai < e.attrsSnapshot.length) {
         val (n, v) = e.attrsSnapshot(ai)
         val (as, ae) = if (ai < e.attrSpans.length) e.attrSpans(ai) else (-1, -1)
-        el.attrs += new DomAttr(n, v, as, ae)
+        el.addAttr(new DomAttr(n, v, as, ae))
         ai += 1
       }
       // parse5 reconstructs via _insertElement(entry.token) — the recreated
@@ -717,7 +717,7 @@ final class TreeBuilder(
             // clone node
             val e = afe(nodeAfeIdx)
             val clone = new DomElement(e.name, e.ns)
-            e.attrsSnapshot.foreach { case (n, v) => clone.attrs += new DomAttr(n, v) }
+            e.attrsSnapshot.foreach { case (n, v) => clone.addAttr(new DomAttr(n, v)) }
             e.element = clone
             stack(nodeIdx) = clone
             node = clone
@@ -753,7 +753,7 @@ final class TreeBuilder(
       val fmtEntryIdx = afeIndexOf(fmtEl)
       val fmtEntry = afe(fmtEntryIdx)
       val clone = new DomElement(fmtEntry.name, fmtEntry.ns)
-      fmtEntry.attrsSnapshot.foreach { case (n, v) => clone.attrs += new DomAttr(n, v) }
+      fmtEntry.attrsSnapshot.foreach { case (n, v) => clone.addAttr(new DomAttr(n, v)) }
       while (furthestBlock.children.nonEmpty) {
         val c = furthestBlock.children(0)
         furthestBlock.removeChild(c)
@@ -1339,7 +1339,7 @@ final class TreeBuilder(
     var i = 0
     while (i < tag.attrs.length) {
       val a = tag.attrs(i)
-      if (!el.hasAttr(a.name)) el.attrs += new DomAttr(a.name, a.value, a.start, a.end)
+      if (!el.hasAttr(a.name)) el.addAttr(new DomAttr(a.name, a.value, a.start, a.end))
       i += 1
     }
   }
@@ -2408,7 +2408,7 @@ final class TreeBuilder(
       var i = 0
       while (i < tag.attrs.length) {
         val a = tag.attrs(i)
-        el.attrs += new DomAttr(a.name, a.value, a.start, a.end)
+        el.addAttr(new DomAttr(a.name, a.value, a.start, a.end))
         i += 1
       }
       if (captureSpans) {

@@ -28,6 +28,23 @@ object AllocProbe {
       println(f"$name%-34s $per%10.0f bytes/op")
     }
 
+    // phase separation: tokenizer alone, tokenizer+tree (no conversion)
+    object NoopSink extends TokenSink {
+      def onChars(data: String, start: Int, end: Int): Unit = ()
+      def onWhitespace(data: String, start: Int, end: Int): Unit = ()
+      def onNull(start: Int, end: Int, count: Int): Unit = ()
+      def onStartTag(tag: TagToken): Unit = ()
+      def onEndTag(tag: TagToken): Unit = ()
+      def onComment(data: String, start: Int, end: Int): Unit = ()
+      def onDoctype(d: DoctypeTok): Unit = ()
+      def onEof(pos: Int): Unit = ()
+      def onParseError(code: String, start: Int, end: Int): Unit = ()
+    }
+    measure("tokenize only (noop sink)")(i => new Tokenizer(htmls(i), NoopSink).run())
+    measure("tokenize+treebuild (no convert)") { i =>
+      new TreeBuilder(htmls(i), scriptingEnabled = true, captureSpans = false,
+        onError = (_, _, _) => ()).parseDocument(); ()
+    }
     measure("parse")(i => HtmlParser.parse(htmls(i)))
     measure("parse+captureSpans")(i =>
       HtmlParser.parse(htmls(i), ParseOptions(captureSpans = true)))
