@@ -97,27 +97,54 @@ final class DomElement(
   }
 }
 
-/** Text node. The common case is a SINGLE character run: the run's string
-  * is held directly and never recopied; a StringBuilder materializes only
-  * when a second run merges in (and collapses back to a cached string on
-  * the first read).
+/** Text node. Content is held in the cheapest sufficient form: a slice of
+  * the original input (the common case — consecutive clean runs extend the
+  * slice in place, word/space/word text never copies until read), a plain
+  * String, or a StringBuilder once non-contiguous/dirty runs merge in.
+  * Reads collapse to a cached String.
   */
-final class DomText(private var first: String) extends DomNode {
+final class DomText private (
+    private var first: String,
+    private var src: String,
+    private var from: Int,
+    private var until: Int
+) extends DomNode {
+  def this(data: String) = this(data, null, 0, 0)
+
   private var sb: java.lang.StringBuilder = null
 
-  def append(data: String): Unit = {
+  private def materialize(extra: Int): java.lang.StringBuilder = {
     if (sb == null) {
-      sb = new java.lang.StringBuilder(first.length + data.length + 16)
-      sb.append(first)
-      first = null
+      if (first != null) {
+        sb = new java.lang.StringBuilder(first.length + extra + 16)
+        sb.append(first)
+        first = null
+      } else {
+        sb = new java.lang.StringBuilder((until - from) + extra + 16)
+        sb.append(src, from, until)
+        src = null
+      }
     }
-    sb.append(data)
+    sb
+  }
+
+  def append(data: String): Unit = { materialize(data.length).append(data); () }
+
+  def appendSlice(s: String, f: Int, u: Int): Unit = {
+    if (sb == null && src != null && (s eq src) && f == until) until = u
+    else { materialize(u - f).append(s, f, u); () }
   }
 
   def text: String = {
     if (sb != null) { first = sb.toString; sb = null }
+    else if (first == null) { first = src.substring(from, until); src = null }
     first
   }
+}
+
+object DomText {
+  def ofSlice(src: String, from: Int, until: Int): DomText =
+    new DomText(null, src, from, until)
 }
 
 final class DomComment(var value: String) extends DomNode

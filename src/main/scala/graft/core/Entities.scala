@@ -57,22 +57,68 @@ object Entities {
     arr
   }
 
+  // sorted view for the allocation-free longest-match walk: names sharing a
+  // prefix are contiguous, and the name EQUAL to the prefix sorts first in
+  // its group (at most one such name exists per prefix)
+  private val sortedNames: Array[String] = table.keys.toArray.sorted
+  private val sortedReps: Array[String] = sortedNames.map(table)
+
+  /** Longest named-reference match at `pos` in `input` (pos points just
+    * after the '&'). Returns `(nameLength << 32) | tableIndex`, or -1 when
+    * nothing matches. Zero allocation: the old per-candidate substring
+    * probe (up to ~30 trial strings per '&') dominated the entity path in
+    * the allocation profile. Pass the index to [[replacementAt]].
+    */
+  def matchNamedPacked(input: CharSequence, pos: Int): Long = {
+    val c0 = if (pos < input.length) input.charAt(pos) else 0.toChar
+    if (c0 >= 128 || !firstChars(c0)) return -1L
+    val avail = math.min(maxNameLength, input.length - pos)
+    var lo = 0
+    var hi = sortedNames.length
+    var bestLen = -1
+    var bestIdx = -1
+    var i = 0
+    var cont = true
+    while (cont && i < avail && lo < hi) {
+      // invariant: names in [lo, hi) share the prefix input[pos, pos+i)
+      if (sortedNames(lo).length == i) {
+        if (i >= 2) { bestLen = i; bestIdx = lo }
+        lo += 1
+      }
+      if (lo >= hi) cont = false
+      else {
+        val ch = input.charAt(pos + i)
+        // narrow to the sub-range whose charAt(i) == ch (lower/upper bound)
+        var l = lo; var h = hi
+        while (l < h) {
+          val m = (l + h) >>> 1
+          if (sortedNames(m).charAt(i) < ch) l = m + 1 else h = m
+        }
+        val newLo = l
+        h = hi
+        while (l < h) {
+          val m = (l + h) >>> 1
+          if (sortedNames(m).charAt(i) <= ch) l = m + 1 else h = m
+        }
+        lo = newLo; hi = l
+        if (lo < hi) i += 1 else cont = false
+      }
+    }
+    if (cont && lo < hi && sortedNames(lo).length == i && i >= 2) {
+      bestLen = i; bestIdx = lo
+    }
+    if (bestLen >= 0) (bestLen.toLong << 32) | bestIdx.toLong else -1L
+  }
+
+  def replacementAt(idx: Int): String = sortedReps(idx)
+
   /** Longest named-reference match at `pos` in `input` (pos points just
     * after the '&'). Returns (nameLength, replacement) or null.
     */
   def matchNamed(input: CharSequence, pos: Int): (Int, String) = {
-    val c0 = if (pos < input.length) input.charAt(pos) else 0.toChar
-    if (c0 >= 128 || !firstChars(c0)) return null
-    var len = math.min(maxNameLength, input.length - pos)
-    while (len >= 2) {
-      val candidate = input.subSequence(pos, pos + len).toString
-      table.get(candidate) match {
-        case Some(rep) => return (len, rep)
-        case None      =>
-      }
-      len -= 1
-    }
-    null
+    val packed = matchNamedPacked(input, pos)
+    if (packed < 0L) null
+    else ((packed >>> 32).toInt, sortedReps((packed & 0xffffffffL).toInt))
   }
 
   /** windows-1252 overrides for numeric references in the C1 control range. */
@@ -86,11 +132,23 @@ object Entities {
     0x9b -> 0x203a, 0x9c -> 0x0153, 0x9e -> 0x017e, 0x9f -> 0x0178
   )
 
+  // boxing-free view of numericOverrides for the hot path (0 = no override;
+  // no real override maps to 0)
+  private val c1Overrides: Array[Int] = {
+    val a = new Array[Int](32)
+    numericOverrides.foreach { case (k, v) => if (k >= 0x80) a(k - 0x80) = v }
+    a
+  }
+
   /** Map a parsed numeric reference code point to the emitted code point. */
   def replaceNumeric(cp: Int): Int = {
-    if (cp >= 0xd800 && cp <= 0xdfff) 0xfffd
+    if (cp == 0) 0xfffd
+    else if (cp >= 0xd800 && cp <= 0xdfff) 0xfffd
     else if (cp > 0x10ffff) 0xfffd
-    else numericOverrides.getOrElse(cp, cp)
+    else if (cp >= 0x80 && cp <= 0x9f) {
+      val v = c1Overrides(cp - 0x80)
+      if (v != 0) v else cp
+    } else cp
   }
 
   def appendCodePoint(sb: mutable.StringBuilder, cp: Int): Unit = {

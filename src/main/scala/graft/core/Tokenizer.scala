@@ -135,10 +135,48 @@ final class Tokenizer(input: String, sink: TokenSink) {
   private var returnToState: Int = Data // for bogus comment origin bookkeeping
 
   // --- character accumulation (homogeneous runs: ws vs other) ---
+  // The pending run is a hybrid: a clean TAIL SLICE of the input
+  // [pendFrom, pendTo) plus an optional dirty prefix in charBuf (entity
+  // decodes, CR normalization, re-emitted chars). Logical content is
+  // charBuf ++ input.substring(pendFrom, pendTo). The common all-clean case
+  // flushes as a range callback with ZERO string materialization — per-word
+  // run strings dominated the tokenizer's allocation profile.
   private val charBuf = new StringBuilder(64)
+  private var pendFrom = -1
+  private var pendTo = -1
   private var charStart = -1
   private var charEnd = -1
   private var charIsWs = false
+
+  private def pendingNonEmpty: Boolean = pendFrom >= 0 || charBuf.nonEmpty
+
+  private def spillSlice(): Unit =
+    if (pendFrom >= 0) {
+      charBuf.underlying.append(input, pendFrom, pendTo)
+      pendFrom = -1; pendTo = -1
+    }
+
+  /** Append one (possibly synthetic or normalized) char to the pending run. */
+  private def appendPendingChar(c: Char): Unit = {
+    if (pendFrom >= 0 && pendTo == curStart && curStart < len &&
+        input.charAt(curStart) == c) pendTo = curStart + 1
+    else if (pendFrom < 0 && curStart < len && input.charAt(curStart) == c) {
+      pendFrom = curStart; pendTo = curStart + 1
+    } else {
+      spillSlice()
+      charBuf.append(c)
+    }
+  }
+
+  /** Append a clean input slice [from, until) to the pending run. */
+  private def appendPendingSlice(from: Int, until: Int): Unit = {
+    if (until <= from) return
+    if (pendFrom >= 0 && pendTo == from) pendTo = until
+    else {
+      spillSlice()
+      pendFrom = from; pendTo = until
+    }
+  }
   // parse5 `currentLocation` mirror: a NEW character run starts at this
   // anchor — the position just past the last emitted token, or the cursor
   // position of the most recent class-change flush — NOT at the char's own
@@ -278,7 +316,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
 
   private def emitChar(c: Char): Unit = {
     if (c == '\u0000') {
-      if (charBuf.nonEmpty) { charEnd = curStart; flushChars(); runAnchor = curStart }
+      if (pendingNonEmpty) { charEnd = curStart; flushChars(); runAnchor = curStart }
       // the NULL token starts at the anchor, like any new pending token
       if (nullStart < 0) nullStart = runAnchor
       nullCount += 1
@@ -296,7 +334,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
       charStart = curStart
       charIsWs = ws
     }
-    charBuf.append(c)
+    appendPendingChar(c)
     charEnd = pos
   }
 
@@ -310,6 +348,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
   private def emitDecoded(s: String, srcStart: Int, srcEnd: Int): Unit = {
     val at = srcEnd - 1
     flushNullRun(at)
+    spillSlice() // decoded text dirties the pending run
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -329,7 +368,13 @@ final class Tokenizer(input: String, sink: TokenSink) {
   }
 
   private def flushChars(): Unit = {
-    if (charBuf.nonEmpty) {
+    if (charBuf.isEmpty && pendFrom >= 0) {
+      // all-clean run: hand the slice straight to the sink, no String
+      if (charIsWs) sink.onWhitespaceRange(input, pendFrom, pendTo, charStart, charEnd)
+      else sink.onCharsRange(input, pendFrom, pendTo, charStart, charEnd)
+      pendFrom = -1; pendTo = -1
+    } else if (pendingNonEmpty) {
+      spillSlice()
       val data = charBuf.toString
       if (charIsWs) sink.onWhitespace(data, charStart, charEnd)
       else sink.onChars(data, charStart, charEnd)
@@ -360,10 +405,10 @@ final class Tokenizer(input: String, sink: TokenSink) {
         validateInputCharAt(ch, p)
       if ((stopAmp && ch == '&') || (stopLt && ch == '<') ||
           ch == '\u0000' || ch == '\r') {
-        charBuf.underlying.append(input, from, p); pos = p; charEnd = p
+        appendPendingSlice(from, p); pos = p; charEnd = p
         return
       } else if (isWsChar(ch) != cls) {
-        charBuf.underlying.append(input, from, p)
+        appendPendingSlice(from, p)
         pos = p; charEnd = p
         flushChars()
         cls = !cls
@@ -374,7 +419,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
         p += 1
       } else p += 1
     }
-    charBuf.underlying.append(input, from, p); pos = p; charEnd = p
+    appendPendingSlice(from, p); pos = p; charEnd = p
   }
 
   /** Bulk-append a run of ordinary chars into `buf`, lowercasing if asked.
@@ -518,7 +563,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
     // parse5 prepareToken: the pending character token's end is rewritten to
     // the emitted token's START (covers dropped constructs in between)
     flushNullRun(tag.start)
-    if (charBuf.nonEmpty) charEnd = tag.start
+    if (pendingNonEmpty) charEnd = tag.start
     flushChars()
     runAnchor = pos
     if (tag.isEnd) {
@@ -534,7 +579,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
 
   private def emitComment(): Unit = {
     flushNullRun(tokenStart)
-    if (charBuf.nonEmpty) charEnd = tokenStart
+    if (pendingNonEmpty) charEnd = tokenStart
     flushChars()
     runAnchor = pos
     sink.onComment(commentBuf.toString, tokenStart, pos)
@@ -544,7 +589,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
   private def emitDoctype(): Unit = {
     doctype.end = pos
     flushNullRun(doctype.start)
-    if (charBuf.nonEmpty) charEnd = doctype.start
+    if (pendingNonEmpty) charEnd = doctype.start
     flushChars()
     runAnchor = pos
     sink.onDoctype(doctype)
@@ -557,7 +602,7 @@ final class Tokenizer(input: String, sink: TokenSink) {
     // construct at EOF spans through it (tokenizer _emitEOFToken +
     // _emitCurrentCharacterToken end-rewrite)
     flushNullRun(len)
-    if (charBuf.nonEmpty) charEnd = len
+    if (pendingNonEmpty) charEnd = len
     flushChars()
     sink.onEof(len)
   }
@@ -628,12 +673,13 @@ final class Tokenizer(input: String, sink: TokenSink) {
         else null
       if (verr != null) deferEntErr(verr, p)
       val cp = Entities.replaceNumeric(value)
-      val sb = new StringBuilder(2)
-      Entities.appendCodePoint(sb, cp)
-      sb.toString
+      if (cp > 0xffff) {
+        val v = cp - 0x10000
+        new String(Array((0xd800 | (v >>> 10)).toChar, (0xdc00 | (v & 0x3ff)).toChar))
+      } else String.valueOf(cp.toChar)
     } else if (isAsciiAlnum(c0)) {
-      val m = Entities.matchNamed(input, pos)
-      if (m == null) {
+      val m = Entities.matchNamedPacked(input, pos)
+      if (m < 0L) {
         // spec ambiguous-ampersand state (parse5 enters it only OUTSIDE
         // attribute values): a maximal alphanumeric run terminated by ';'
         // that matches nothing errs unknown-named-character-reference at
@@ -646,7 +692,8 @@ final class Tokenizer(input: String, sink: TokenSink) {
         }
         return null
       }
-      val (nameLen, replacement) = m
+      val nameLen = (m >>> 32).toInt
+      val replacement = Entities.replacementAt((m & 0xffffffffL).toInt)
       val endsWithSemi = input.charAt(pos + nameLen - 1) == ';'
       if (!endsWithSemi && inAttribute) {
         val next = if (pos + nameLen < len) input.charAt(pos + nameLen) else ' '

@@ -75,6 +75,15 @@ trait TokenSink {
   def onChars(data: String, start: Int, end: Int): Unit
   /** ASCII-whitespace-only character run. */
   def onWhitespace(data: String, start: Int, end: Int): Unit
+  /** Clean-slice variants: the run is exactly `src.substring(from, until)`
+    * (no entity decode / CR normalization happened inside it). Sinks that
+    * can consume a slice without materializing the string override these;
+    * the defaults delegate to the String callbacks.
+    */
+  def onCharsRange(src: String, from: Int, until: Int, start: Int, end: Int): Unit =
+    onChars(src.substring(from, until), start, end)
+  def onWhitespaceRange(src: String, from: Int, until: Int, start: Int, end: Int): Unit =
+    onWhitespace(src.substring(from, until), start, end)
   /** A run of U+0000 characters batched into ONE token (parse5
     * NULL_CHARACTER pending-token semantics: the run stays pending across
     * dropped constructs and flushes at the next char/token boundary, whose

@@ -526,11 +526,14 @@ final class TreeBuilder(
       }
     prev match {
       case t: DomText =>
-        t.append(data)
+        if (data == null) t.appendSlice(sliceSrc, sliceFrom, sliceUntil)
+        else t.append(data)
         if (captureSpans && end >= 0) t.endOffset = end
         t
       case _ =>
-        val t = new DomText(data)
+        val t =
+          if (data == null) DomText.ofSlice(sliceSrc, sliceFrom, sliceUntil)
+          else new DomText(data)
         if (captureSpans) { t.startOffset = start; t.endOffset = end }
         insertNodeAt(loc, t)
         t
@@ -957,6 +960,50 @@ final class TreeBuilder(
     } else processChars(data, isWs = true, start, end)
   }
 
+  // Slice-run carrier for the Range callbacks: while set (for the duration
+  // of ONE token dispatch), a null `data` in the char paths means "the run
+  // is input[sliceFrom, sliceUntil)" — DomText then extends in place
+  // without ever materializing per-run strings.
+  private var sliceSrc: String = null
+  private var sliceFrom = 0
+  private var sliceUntil = 0
+
+  private def sliceString(): String = sliceSrc.substring(sliceFrom, sliceUntil)
+
+  override def onCharsRange(src: String, from: Int, until: Int,
+                            start: Int, end: Int): Unit = {
+    if (stopped) return
+    var f = from
+    if (ignoreNextLf) {
+      ignoreNextLf = false
+      if (src.charAt(f) == '\n') f += 1
+    }
+    if (f >= until) return
+    sliceSrc = src; sliceFrom = f; sliceUntil = until
+    if (useForeignRules(isStartTag = false, isChar = true, null)) {
+      insertCharacters(null, start, end)
+      framesetOk = false
+    } else processChars(null, isWs = false, start, end)
+    sliceSrc = null
+  }
+
+  override def onWhitespaceRange(src: String, from: Int, until: Int,
+                                 start: Int, end: Int): Unit = {
+    if (stopped) return
+    var f = from
+    if (ignoreNextLf) {
+      ignoreNextLf = false
+      if (src.charAt(f) == '\n') f += 1
+    }
+    if (f >= until) return
+    sliceSrc = src; sliceFrom = f; sliceUntil = until
+    if (useForeignRules(isStartTag = false, isChar = true, null)) {
+      insertCharacters(null, start, end)
+      ()
+    } else processChars(null, isWs = true, start, end)
+    sliceSrc = null
+  }
+
   /** One call per batched NULL_CHARACTER token (the tokenizer accumulates
     * the whole run, parse5-style): foreign content replaces the run with a
     * single U+FFFD spanning the full token, and the mode machine fires once.
@@ -1238,7 +1285,9 @@ final class TreeBuilder(
           fosterParenting = false
         }
       case InTableText =>
-        pendingTableChars += ((data, isWs, start, end))
+        // buffered across tokens — the slice carrier is per-dispatch, so
+        // materialize here (rare path: only chars directly in table modes)
+        pendingTableChars += ((if (data == null) sliceString() else data, isWs, start, end))
       case InColumnGroup =>
         if (isWs) insertCharacters(data, start, end)
         else {

@@ -41,6 +41,18 @@ object AllocProbe {
       def onParseError(code: String, start: Int, end: Int): Unit = ()
     }
     measure("tokenize only (noop sink)")(i => new Tokenizer(htmls(i), NoopSink).run())
+    if (args.contains("shapes")) {
+      measure("tok empty (fixed cost)")(_ => new Tokenizer("", NoopSink).run())
+      measure("treebuild empty (fixed cost)") { _ =>
+        new TreeBuilder("", scriptingEnabled = true, captureSpans = false,
+          onError = (_, _, _) => ()).parseDocument(); ()
+      }
+      // per-shape attribution: htmlFor switches on seed%10
+      (0 until 10).foreach { shape =>
+        val doc = graft.pipeline.Transcripts.htmlFor(shape.toLong, 1)
+        measure(f"tok shape$shape (${doc.length}%4d ch)")(_ => new Tokenizer(doc, NoopSink).run())
+      }
+    }
     measure("tokenize+treebuild (no convert)") { i =>
       new TreeBuilder(htmls(i), scriptingEnabled = true, captureSpans = false,
         onError = (_, _, _) => ()).parseDocument(); ()
