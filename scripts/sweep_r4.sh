@@ -10,7 +10,7 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 LOG="${1:-/tmp/sweep_r4}"
 mkdir -p "$LOG"
-SEEDS="0x4EED5EED 0xA12B3C4D 0x0DDC0FFE 0x7A7A7A01 0x5EED900D"
+SEEDS="${SWEEP_SEEDS:-0x4EED5EED 0xA12B3C4D 0x0DDC0FFE 0x7A7A7A01 0x5EED900D}"
 
 python3 scripts/conformance/ts_strip.py >"$LOG/ts_strip.log" 2>&1 || { echo "ts_strip FAILED"; exit 1; }
 

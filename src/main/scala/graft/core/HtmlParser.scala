@@ -304,7 +304,8 @@ object HtmlParser {
         else if (el.children.length == 1) {
           // single-child fast path: skip the 32-slot VectorBuilder
           val c0 = convertNode(el.children(0), depth + 1, assigner, state)
-          if (c0 == null) Vector.empty[HtmlNode] else Vector(c0)
+          // Vector0 :+ x builds a Vector1 directly (no varargs wrapping)
+          if (c0 == null) Vector.empty[HtmlNode] else Vector.empty[HtmlNode] :+ c0
         } else {
           val b = Vector.newBuilder[HtmlNode]
           var i = 0
@@ -344,7 +345,7 @@ object HtmlParser {
               if (state.captureSpans && a.start >= 0 && a.end >= a.start)
                 Some(Span(a.start, a.end))
               else None
-            Vector(Attr(a.name, a.value, sp))
+            Vector.empty[Attr] :+ Attr(a.name, a.value, sp)
           } else {
           val b = Vector.newBuilder[Attr]
           val seen = if (anyAdjusted) new java.util.HashSet[String]() else null
@@ -416,7 +417,8 @@ object HtmlParser {
   }
 
   private def toParseErrors(errors: ArrayBuffer[ErrRec]): Vector[ParseError] =
-    errors.iterator.map { e =>
+    if (errors.isEmpty) Vector.empty
+    else errors.iterator.map { e =>
       val span =
         if (e.hasSpan && e.start >= 0 && e.end >= e.start) Some(Span(e.start, e.end))
         else None
