@@ -74,6 +74,10 @@ object SparkEntry {
   final case class IdTextBudget(doc_id: Long, extracted_text: String, budget_error: String)
   final case class IdProv(doc_id: Long, extracted_text: String, n_tokens: Long,
                           degraded: Boolean, kinds: String)
+  final case class IdMain(doc_id: Long, main_tag: String, extracted_text: String,
+                          text_chars: Long, link_density: Double, score: Double)
+  final case class IdMainSpan(doc_id: Long, main_tag: String, extracted_text: String,
+                              span_start: Long, span_end: Long)
 
   /** Flagship: full transcript extraction pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -192,6 +196,58 @@ object SparkEntry {
         val chunks = h.getBytes("UTF-8").grouped(7)
         IdText(id, VisibleText.ofDocument(Streaming.parseStream(chunks)))
       }),
+
+    // ---- main-content selection (boilerplate strip; north-star heuristics:
+    // text-density, link-density, tag/class scoring). Three arms, each
+    // decidable only if ONE heuristic works: arm 0 = class tokens + link
+    // density (nav/footer link farms lose), arm 1 = tag weight + link
+    // density with zero class evidence, arm 2 = class sign against a
+    // HIGHER-density negative-classed twin. The oracle replays the winning
+    // score's exact IEEE arithmetic, not just the extracted text.
+    "q_main_content" -> ((s, dir) =>
+      overHtml[IdMain](s, dir,
+        "CASE CAST(doc_id % 3 AS INT) " +
+          "WHEN 0 THEN concat('<div class=\"nav menu\"><a href=\"#\">', lang, '</a> <a href=\"#\">', source, " +
+          "'</a></div><div class=\"post content\"><p>', text, '</p></div><div id=\"footer\"><a href=\"#\">', source, '</a> copyright</div>') " +
+          "WHEN 1 THEN concat('<div><a href=\"#\">', text, '</a></div><article><h2>', lang, '</h2><p>', text, '</p></article>') " +
+          "ELSE concat('<div class=\"sidebar related\"><p>zz ', text, '</p></div><div class=\"entry\"><p>', text, '</p></div>') END") {
+        (id, h) =>
+          val r = MainContent.fromHtml(h).get
+          IdMain(id, r.tagName, r.text, r.textChars.toLong, r.linkDensity, r.score)
+      }),
+
+    // winner's source char span (captureSpans), stated closed-form by the
+    // oracle from the literal wrapper lengths — per-turn "extracted text
+    // AND character spans" from the north star
+    "q_main_content_spans" -> ((s, dir) =>
+      overHtml[IdMainSpan](s, dir,
+        "concat('<div class=\"nav\"><a href=\"#\">', lang, '</a></div><div id=\"main-content\"><p>', text, " +
+          "'</p></div><div class=\"footer\">', source, '</div>')") {
+        (id, h) =>
+          val r = MainContent.fromHtml(h, captureSpans = true).get
+          val sp = r.span.get
+          IdMainSpan(id, r.tagName, r.text, sp.start.toLong, sp.end.toLong)
+      }),
+
+    // pipeline-shaped: boilerplate-wrapped transcript turns -> per-turn main
+    // text + spans under stable (conv_id, turn_idx) window ordering
+    "q_main_transcript" -> ((s, dir) => {
+      import s.implicits._
+      val wrapped = docs(s, dir).select(
+        concat(lit("c"), lpad((col("doc_id") % 40).cast("string"), 4, "0")).as("conv_id"),
+        expr("CAST(doc_id DIV 40 AS BIGINT)").as("turn_idx"),
+        expr("concat('<div class=\"nav\"><a href=\"#\">', lang, '</a></div><div id=\"main-content\"><p>', text, " +
+          "'</p></div><div class=\"footer\">', source, '</div>')").as("html"))
+      wrapped.as[(String, Long, String)]
+        .mapPartitions(_.map { case (cid, tix, h) =>
+          val r = MainContent.fromHtml(h, captureSpans = true).get
+          val sp = r.span.get
+          (cid, tix, r.text, sp.start.toLong, sp.end.toLong)
+        })
+        .toDF("conv_id", "turn_idx", "extracted_text", "span_start", "span_end")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))).cast("long"))
+    }),
 
     "q_textcontent" -> ((s, dir) =>
       overHtml[IdText](s, dir,
@@ -854,6 +910,40 @@ object SparkEntry {
 
     "q_textcontent" ->
       "SELECT doc_id, ' ' || lang || '  ' || source AS extracted_text FROM documents",
+
+    // main-content selection: winner identity, extracted text, and the
+    // EXACT winning score (same IEEE op order as MainContent.scoreOf:
+    // ((textChars/ (1+nElems)) * (1-linkDensity)) * tagWeight + classTerm)
+    "q_main_content" ->
+      (s"SELECT doc_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 'article' ELSE 'div' END AS main_tag, " +
+        "CASE CAST(doc_id % 3 AS INT) " +
+        s"WHEN 1 THEN lang || $NL || $NL || text " +
+        "ELSE text END AS extracted_text, " +
+        "CASE CAST(doc_id % 3 AS INT) " +
+        "WHEN 1 THEN CAST(length(lang) + length(text) AS BIGINT) " +
+        "ELSE CAST(length(text) AS BIGINT) END AS text_chars, " +
+        "0.0 AS link_density, " +
+        "CASE CAST(doc_id % 3 AS INT) " +
+        "WHEN 1 THEN (length(lang) + length(text)) / (1.0 + 2.0) * (1.0 - 0.0) * 1.5 + 0.0 " +
+        "ELSE length(text) / (1.0 + 1.0) * (1.0 - 0.0) * 1.0 + 25.0 END AS score " +
+        "FROM documents"),
+
+    "q_main_content_spans" ->
+      ("SELECT doc_id, 'div' AS main_tag, text AS extracted_text, " +
+        "length('<div class=\"nav\"><a href=\"#\">') + length(lang) + length('</a></div>') AS span_start, " +
+        "length('<div class=\"nav\"><a href=\"#\">') + length(lang) + length('</a></div>') " +
+        "+ length('<div id=\"main-content\"><p>') + length(text) + length('</p></div>') AS span_end " +
+        "FROM documents"),
+
+    "q_main_transcript" ->
+      ("WITH t AS (SELECT 'c' || lpad(CAST(doc_id % 40 AS VARCHAR), 4, '0') AS conv_id, " +
+        "doc_id // 40 AS turn_idx, text, lang, source FROM documents) " +
+        "SELECT conv_id, turn_idx, text AS extracted_text, " +
+        "length('<div class=\"nav\"><a href=\"#\">') + length(lang) + length('</a></div>') AS span_start, " +
+        "length('<div class=\"nav\"><a href=\"#\">') + length(lang) + length('</a></div>') " +
+        "+ length('<div id=\"main-content\"><p>') + length(text) + length('</p></div>') AS span_end, " +
+        "row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn FROM t"),
 
     "q_spans" ->
       ("SELECT doc_id, 'p' AS tag, CAST(0 AS BIGINT) AS elem_start, length(text) + 7 AS elem_end, " +

@@ -25,7 +25,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 object VisibleText {
 
-  private val SkipTags =
+  private[graft] val SkipTags =
     Set("head", "script", "style", "template", "title", "optgroup", "option")
   private val InputValueTypes = Set("button", "submit", "reset")
   private val BlockBreakTags = Set(
@@ -115,7 +115,7 @@ object VisibleText {
       normalized.isEmpty || normalized == "true" || normalized == "1"
     }
 
-  private def shouldSkipHiddenSubtree(node: ElementNode, options: VisibleTextOptions): Boolean = {
+  private[graft] def shouldSkipHiddenSubtree(node: ElementNode, options: VisibleTextOptions): Boolean = {
     if (!options.skipHiddenSubtrees) return false
     if (node.attr("hidden").isDefined) return true
     node.attr("style") match {

@@ -123,6 +123,21 @@ object PlanAudit {
     check("q_ann_lsh_topk joins on bucket key (no cartesian)")(
       !ltPlan.contains("CartesianProduct"), ltPlan)
 
+    // 14. main-content selection: per-row scoring must stay shuffle-free
+    //     and prune the scan to the columns the wrapper html needs
+    val mcPlan = graft.SparkEntry.queries("q_main_content")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    check("q_main_content is shuffle-free")(
+      !mcPlan.contains("Exchange"), mcPlan)
+    check("q_main_content prunes scan (no n_chars col)")(
+      mcPlan.contains("ReadSchema") && !mcPlan.contains("n_chars"), mcPlan)
+
+    // 15. transcript-shaped main extraction: exactly the window's shuffle
+    val mtPlan = graft.SparkEntry.queries("q_main_transcript")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    check("q_main_transcript has exactly 1 shuffle (window)")(
+      "Exchange".r.findAllIn(mtPlan).length == 1, mtPlan)
+
     println(if (failures == 0) "ALL PLAN CHECKS PASSED" else s"$failures CHECKS FAILED")
     spark.stop()
     if (failures > 0) sys.exit(1)

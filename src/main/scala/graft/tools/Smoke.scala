@@ -91,6 +91,16 @@ object Smoke {
     println("=== tokens -> tree (parseTokens) ===")
     val viaTokens = HtmlParser.parseTokens(TokenizeApi.tokenize("<ul><li>1<li>2</ul>").tokens)
     println(Serializer.serialize(viaTokens))
+    println("=== main-content selection (boilerplate strip) ===")
+    val page = """<div class="nav"><a href="#">home</a> <a href="#">about</a> <a href="#">contact us</a></div>""" +
+      """<article><h1>the headline</h1><p>the actual story body with enough characters to win</p></article>""" +
+      """<div class="footer"><a href="#">privacy</a> copyright twenty twenty six</div>"""
+    val main = MainContent.fromHtml(page, captureSpans = true).get
+    println("winner=" + main.tagName + " score=" + main.score +
+      " linkDensity=" + main.linkDensity + " span=" + main.span)
+    println("text: " + main.text.replace("\n", "[NL]"))
+    println("fallback (no candidate): [" +
+      MainContent.extractOrDocument(HtmlParser.parse("<p>short</p>")) + "]")
     println("DONE")
 
   }
