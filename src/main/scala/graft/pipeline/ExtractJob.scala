@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *     --input  <transcripts parquet/iceberg path> \
   *     --output <dest dir> \
   *     [--buckets 64] [--passes 1] [--resume] [--salt 0]
-  *     [--format parquet|iceberg]
+  *     [--format parquet|iceberg] [--main-content]
   *
   * Scale design:
   *  - rows are routed to `buckets` stable hash buckets of `conv_id`
@@ -40,7 +40,8 @@ object ExtractJob {
       passes: Int = 1,
       resume: Boolean = false,
       salt: Int = 0,
-      format: String = TableIO.defaultFormat
+      format: String = TableIO.defaultFormat,
+      mainContent: Boolean = false
   )
 
   def parseArgs(argv: Array[String]): Args = {
@@ -55,6 +56,7 @@ object ExtractJob {
         case "--salt"    => a = a.copy(salt = argv(i + 1).toInt); i += 2
         case "--format"  => a = a.copy(format = argv(i + 1)); i += 2
         case "--resume"  => a = a.copy(resume = true); i += 1
+        case "--main-content" => a = a.copy(mainContent = true); i += 1
         case other        => throw new IllegalArgumentException(s"unknown arg $other")
       }
     }
@@ -95,9 +97,11 @@ object ExtractJob {
         val bucketOf = salted.select(col("_bucket"),
           col("conv_id"), col("turn_idx"), col("role"), col("text"),
           col("tool"), col("ts"))
-        val extracted = Extraction.extract(
-          bucketOf.drop("_bucket").as[TranscriptTurn], Some(metrics))
-          .withColumn("_bucket", pmod(xxhash64(col("conv_id")), lit(args.buckets)))
+        val turnsDs = bucketOf.drop("_bucket").as[TranscriptTurn]
+        val extracted =
+          (if (args.mainContent) Extraction.extractMain(turnsDs, Some(metrics))
+           else Extraction.extract(turnsDs, Some(metrics)))
+            .withColumn("_bucket", pmod(xxhash64(col("conv_id")), lit(args.buckets)))
 
         // stable turn ordering inside every bucket file: repartition by
         // bucket then sort (conv_id, turn_idx) within each writer task

@@ -146,18 +146,44 @@ object Extraction {
     }
   }
 
-  /** Distributed extraction. No shuffle; preserves input partitioning. */
-  def extract(ds: Dataset[TranscriptTurn],
-              metrics: Option[Metrics] = None,
-              budgets: Budgets = DefaultBudgets,
-              options: VisibleTextOptions = VisibleTextOptions()): Dataset[ExtractedTurn] = {
+  /** Extract one turn, keeping only the main-content block (north-star
+    * boilerplate strip: text-density, link-density, tag/class scoring —
+    * [[graft.core.MainContent]]). The `spans` column carries one
+    * `mainContent` record with the winner's source char span; turns with no
+    * qualifying block fall back to whole-document extraction (empty spans).
+    */
+  def extractMainOne(t: TranscriptTurn, budgets: Budgets,
+                     options: MainContentOptions): ExtractedTurn = {
+    val html = if (t.text == null) "" else t.text
+    guardedExtract(t, html.length.toLong) {
+      val tree = HtmlParser.parse(html,
+        ParseOptions(captureSpans = true, budgets = Some(budgets)))
+      val (text, spans) = MainContent.extract(tree, options) match {
+        case Some(r) =>
+          (r.text, r.span.map(sp =>
+            TokenSpan("mainContent", r.tagName, sp.start, sp.end, r.nodeId)).toSeq)
+        case None =>
+          (VisibleText.ofDocument(tree, options.visibleText), Nil)
+      }
+      ExtractedTurn(t.conv_id, t.turn_idx, t.role, text, spans,
+        tree.errors.length,
+        tree.errors.headOption.map(_.parseErrorId).getOrElse(""),
+        "", html.length.toLong, text.length.toLong)
+    }
+  }
+
+  /** Shared distributed plumbing: shuffle-free `mapPartitions`, one
+    * amortized deep-stack worker per task, batched handoff, accumulators.
+    */
+  private def extractWith(ds: Dataset[TranscriptTurn], metrics: Option[Metrics])
+                         (rowFn: TranscriptTurn => ExtractedTurn): Dataset[ExtractedTurn] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val worker = new BigStackWorker
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => worker.close()))
       val batched = it.grouped(BatchSize).flatMap { batch =>
-        val out = worker(() => batch.map(extractOne(_, budgets, options)))
+        val out = worker(() => batch.map(rowFn))
         metrics.foreach { m =>
           m.turnsIn.add(batch.size.toLong)
           out.foreach { e =>
@@ -172,6 +198,22 @@ object Extraction {
       batched
     }
   }
+
+  /** Distributed extraction. No shuffle; preserves input partitioning. */
+  def extract(ds: Dataset[TranscriptTurn],
+              metrics: Option[Metrics] = None,
+              budgets: Budgets = DefaultBudgets,
+              options: VisibleTextOptions = VisibleTextOptions()): Dataset[ExtractedTurn] =
+    extractWith(ds, metrics)(extractOne(_, budgets, options))
+
+  /** Distributed main-content extraction (same plumbing, boilerplate
+    * stripped per turn). No shuffle; preserves input partitioning.
+    */
+  def extractMain(ds: Dataset[TranscriptTurn],
+                  metrics: Option[Metrics] = None,
+                  budgets: Budgets = DefaultBudgets,
+                  options: MainContentOptions = MainContentOptions()): Dataset[ExtractedTurn] =
+    extractWith(ds, metrics)(extractMainOne(_, budgets, options))
 
   // -------------------------------------------------------------------
   // Lineage & digests

@@ -111,6 +111,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1).budget_error.startsWith("budget:"))
   }
 
+  test("main-content mode strips boilerplate per turn and records the winner span") {
+    import spark.implicits._
+    val story = "the actual story body with enough characters to win the block score"
+    val html = """<div class="nav"><a href="#">home</a> <a href="#">about</a></div>""" +
+      s"""<article><p>$story</p></article><div class="footer">copyright someone</div>"""
+    val turns = Seq(
+      TranscriptTurn("c1", 0, "user", html, "", new java.sql.Timestamp(0L)),
+      // no candidate block -> whole-document fallback, no mainContent span
+      TranscriptTurn("c1", 1, "user", "<p>short plain turn</p>", "", new java.sql.Timestamp(0L)))
+    val out = Extraction.extractMain(spark.createDataset(turns))
+      .collect().sortBy(_.turn_idx)
+
+    assert(out(0).extracted_text == story)
+    val sp = out(0).spans match { case Seq(s) => s; case other => fail(s"spans=$other") }
+    assert(sp.kind == "mainContent" && sp.value == "article")
+    assert(html.substring(sp.start, sp.end) == s"<article><p>$story</p></article>")
+
+    assert(out(1).extracted_text == "short plain turn")
+    assert(out(1).spans.isEmpty)
+
+    // the full job accepts the flag and its digest differs from full-page
+    // extraction on the same input (boilerplate really was dropped)
+    val tmp = Files.createTempDirectory("graft-mc").toString
+    spark.createDataset(turns).toDF().write.parquet(s"$tmp/in")
+    ExtractJob.run(spark, ExtractJob.Args(s"$tmp/in", s"$tmp/out-main",
+      buckets = 4, passes = 1, mainContent = true))
+    ExtractJob.run(spark, ExtractJob.Args(s"$tmp/in", s"$tmp/out-full",
+      buckets = 4, passes = 1))
+    def texts(dir: String) = spark.read.parquet(s"$dir/data")
+      .orderBy("turn_idx").select("extracted_text").as[String].collect().toSeq
+    assert(texts(s"$tmp/out-main") == Seq(story, "short plain turn"))
+    assert(texts(s"$tmp/out-full").head.contains("home"))
+  }
+
   test("bucketed job is resumable: crash after pass 0, resume completes pass 1 only") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-job").toString
