@@ -122,6 +122,31 @@ private object TagNameInterner {
   }
 }
 
+private[core] object Tokenizer {
+  /** Char-class tables for the whole-name scans (one array read replaces
+    * the 6-10 compare chain per character): 0 = name char (continue),
+    * 1 = stop char (name complete), 2 = bail to the per-char state arm
+    * (uppercase, controls, CR, NUL, DEL/C1 — and for attrs the error chars
+    * `"` `'` `<`). Chars ≥ 256 continue unless a surrogate (≥ 0xD800).
+    */
+  private def charClassTable(stops: String, extraBail: String): Array[Byte] = {
+    val t = new Array[Byte](256)
+    var i = 0
+    while (i < 256) {
+      t(i) =
+        if (stops.indexOf(i) >= 0) 1
+        else if ((i >= 'A' && i <= 'Z') || i < 0x20 ||
+          (i >= 0x7f && i <= 0x9f) || extraBail.indexOf(i) >= 0) 2
+        else 0
+      i += 1
+    }
+    t
+  }
+
+  val TagNameCharClass: Array[Byte] = charClassTable("\t\n\f />", "")
+  val AttrNameCharClass: Array[Byte] = charClassTable("\t\n\f />=", "\"'<")
+}
+
 final class Tokenizer(input: String, sink: TokenSink) {
   import TokenizerState._
 
@@ -482,20 +507,72 @@ final class Tokenizer(input: String, sink: TokenSink) {
     * stop char for the regular TagName dispatch. CR, NUL, uppercase or EOF
     * fall back to the per-char path untouched — byte-identical semantics.
     */
+  // one-entry repeat caches in front of the global interner: tag names
+  // repeat consecutively (</li><li>, </td><td>) and attr names repeat
+  // across sibling elements (class=, href=), so most lookups shortcut to a
+  // single regionMatches without hashing (lookup was the top self-time
+  // frame once the dispatch compiled)
+  private var lastTagName: String = null
+  private var lastAttrNameCache: String = null
+
   private def fastScanTagName(): Unit = {
+    val tbl = Tokenizer.TagNameCharClass
     var p = pos
     while (p < len) {
       val ch = input.charAt(p)
-      if (ch == '\t' || ch == '\n' || ch == '\f' || ch == ' ' ||
-          ch == '/' || ch == '>') {
-        fastTagName = TagNameInterner.lookup(input, pos, p)
-        pos = p
-        return
-      }
-      if ((ch >= 'A' && ch <= 'Z') || ch < 0x20 ||
-          (ch >= 0x7f && ch <= 0x9f) || ch >= 0xd800) return
+      if (ch < 256) {
+        val cls = tbl(ch)
+        if (cls != 0) {
+          if (cls == 2) return
+          val cached = lastTagName
+          if (cached != null && cached.length == p - pos &&
+              input.regionMatches(pos, cached, 0, p - pos)) fastTagName = cached
+          else {
+            fastTagName = TagNameInterner.lookup(input, pos, p)
+            lastTagName = fastTagName
+          }
+          pos = p
+          return
+        }
+      } else if (ch >= 0xd800) return
       p += 1
     }
+  }
+
+  /** Fused Data-state '<' handling: the overwhelmingly common shapes
+    * `<name…` and `</name…` go straight to the whole-name scan and, when it
+    * succeeds, straight to the stop-char dispatch — skipping the TagOpen,
+    * EndTagOpen and TagName state entries (three run-loop dispatches and
+    * reads per tag). Byte-identical to the per-state path: the fused arms
+    * replicate exactly what TagOpen/EndTagOpen do for an ASCII-alpha
+    * lookahead (startTag + reconsumed name scan), and a successful
+    * `fastScanTagName` guarantees the next char is one of `\t\n\f / >` or a
+    * space, which is precisely the TagName dispatch below. Anything else
+    * ('!', '?', EOF, non-alpha, uppercase/CR/NUL names) falls back to the
+    * regular states untouched.
+    */
+  private def fusedTagOpen(): Unit = {
+    if (pos < len) {
+      val n = input.charAt(pos)
+      if (isAsciiAlpha(n)) {
+        startTag(isEnd = false)
+        fastScanTagName()
+      } else if (n == '/' && pos + 1 < len && isAsciiAlpha(input.charAt(pos + 1))) {
+        pos += 1
+        startTag(isEnd = true)
+        fastScanTagName()
+      } else { state = TagOpen; return }
+    } else { state = TagOpen; return }
+    if (fastTagName != null) {
+      // pos sits on the guaranteed stop char; dispatch it without another
+      // run-loop iteration (mirrors the TagName arms for these chars)
+      curStart = pos
+      val s = input.charAt(pos)
+      pos += 1
+      if (s == '>') { state = Data; emitTag() }
+      else if (s == '/') state = SelfClosingStartTag
+      else state = BeforeAttrName
+    } else state = TagName
   }
 
   /** Whole-name fast path for attribute names, called with `pos` at the
@@ -507,18 +584,25 @@ final class Tokenizer(input: String, sink: TokenSink) {
   private var fastAttrName: String = null
 
   private def fastScanAttrName(): Unit = {
+    val tbl = Tokenizer.AttrNameCharClass
     var p = pos
     while (p < len) {
       val ch = input.charAt(p)
-      if (ch == '\t' || ch == '\n' || ch == '\f' || ch == ' ' ||
-          ch == '/' || ch == '>' || ch == '=') {
-        fastAttrName = TagNameInterner.lookup(input, pos, p)
-        pos = p
-        return
-      }
-      if ((ch >= 'A' && ch <= 'Z') || ch < 0x20 ||
-          (ch >= 0x7f && ch <= 0x9f) || ch >= 0xd800 ||
-          ch == '"' || ch == '\'' || ch == '<') return
+      if (ch < 256) {
+        val cls = tbl(ch)
+        if (cls != 0) {
+          if (cls == 2) return
+          val cached = lastAttrNameCache
+          if (cached != null && cached.length == p - pos &&
+              input.regionMatches(pos, cached, 0, p - pos)) fastAttrName = cached
+          else {
+            fastAttrName = TagNameInterner.lookup(input, pos, p)
+            lastAttrNameCache = fastAttrName
+          }
+          pos = p
+          return
+        }
+      } else if (ch >= 0xd800) return
       p += 1
     }
   }
@@ -745,16 +829,36 @@ final class Tokenizer(input: String, sink: TokenSink) {
   }
 
   // ------------------------------------------------------------------
+  /** Main loop. The 73-state machine is split into six group methods over
+    * contiguous state ranges because a single match compiled to ~9.6KB of
+    * bytecode — past HotSpot's HugeMethodLimit (8000 bytes), so the whole
+    * dispatch ran INTERPRETED. Grouped, every method is JIT-compiled. The
+    * split is pure code motion: arms are verbatim, each group returns the
+    * old `running` flag.
+    */
   def run(): Unit = {
     var running = true
     while (running) {
-      state match {
-        // ---------------- Data / RCDATA / RAWTEXT / script / plaintext ----
+      val s = state
+      running =
+        if (s <= TagName) stepDataTag(s)
+        else if (s <= ScriptDataDoubleEscapeEnd) stepTextModes(s)
+        else if (s <= SelfClosingStartTag) stepAttrs(s)
+        else if (s <= CommentEndBang) stepComments(s)
+        else if (s <= BogusDoctype) stepDoctype(s)
+        else stepCdata(s)
+    }
+  }
+
+  // ---------------- Data / RCDATA / RAWTEXT / script / plaintext ----
+  private def stepDataTag(s: Int): Boolean = {
+    var running = true
+    s match {
         case Data =>
           val c = read()
           c match {
             case '&' => dataCharRef()
-            case '<' => tokenStart = curStart; state = TagOpen
+            case '<' => tokenStart = curStart; fusedTagOpen()
             case 0   => err("unexpected-null-character"); emitChar('\u0000')
             case EOF => emitEof(); running = false
             case _   => emitChar(c.toChar); bulkPlainRun(stopAmp = true, stopLt = true)
@@ -844,7 +948,16 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case _   => nameBuf.append(toLower(c)); bulkInto(nameBuf, TagNameStops._1, TagNameStops._2, lower = true)
           }
 
-        // ---------------- RCDATA/RAWTEXT/script-data end tags ----------------
+        case other =>
+          throw new IllegalStateException(s"unhandled tokenizer state $other")
+    }
+    running
+  }
+
+  // ---------------- RCDATA/RAWTEXT/script-data end tags + script escapes --
+  private def stepTextModes(s: Int): Boolean = {
+    var running = true
+    s match {
         case RcdataLessThan =>
           val c = read()
           if (c == '/') { tempBuf.clear(); state = RcdataEndTagOpen }
@@ -1050,7 +1163,16 @@ final class Tokenizer(input: String, sink: TokenSink) {
             tempBuf.append(toLower(c)); emitChar(c.toChar)
           } else { reconsume(); state = ScriptDataDoubleEscaped }
 
-        // ---------------- attributes ----------------
+        case other =>
+          throw new IllegalStateException(s"unhandled tokenizer state $other")
+    }
+    running
+  }
+
+  // ---------------- attributes ----------------
+  private def stepAttrs(s: Int): Boolean = {
+    var running = true
+    s match {
         case BeforeAttrName =>
           val c = read()
           c match {
@@ -1175,7 +1297,16 @@ final class Tokenizer(input: String, sink: TokenSink) {
               reconsume(); state = BeforeAttrName
           }
 
-        // ---------------- comments & markup declaration ----------------
+        case other =>
+          throw new IllegalStateException(s"unhandled tokenizer state $other")
+    }
+    running
+  }
+
+  // ---------------- comments & markup declaration ----------------
+  private def stepComments(s: Int): Boolean = {
+    var running = true
+    s match {
         case BogusComment =>
           val c = read()
           c match {
@@ -1297,7 +1428,16 @@ final class Tokenizer(input: String, sink: TokenSink) {
               commentBuf.append("--!"); reconsume(); state = Comment
           }
 
-        // ---------------- DOCTYPE ----------------
+        case other =>
+          throw new IllegalStateException(s"unhandled tokenizer state $other")
+    }
+    running
+  }
+
+  // ---------------- DOCTYPE ----------------
+  private def stepDoctype(s: Int): Boolean = {
+    var running = true
+    s match {
         case DoctypeState =>
           val c = read()
           c match {
@@ -1583,7 +1723,16 @@ final class Tokenizer(input: String, sink: TokenSink) {
             case _   => // skip
           }
 
-        // ---------------- CDATA ----------------
+        case other =>
+          throw new IllegalStateException(s"unhandled tokenizer state $other")
+    }
+    running
+  }
+
+  // ---------------- CDATA ----------------
+  private def stepCdata(s: Int): Boolean = {
+    var running = true
+    s match {
         case CdataSection =>
           val c = read()
           c match {
@@ -1612,8 +1761,8 @@ final class Tokenizer(input: String, sink: TokenSink) {
 
         case other =>
           throw new IllegalStateException(s"unhandled tokenizer state $other")
-      }
     }
+    running
   }
 
   private def emitCharAt(c: Char, at: Int): Unit = {

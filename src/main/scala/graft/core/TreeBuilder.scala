@@ -2175,13 +2175,18 @@ final class TreeBuilder(
               processEndTag(tag)
             } else ()
           case "tbody" | "tfoot" | "thead" =>
-            if (hasInTableScope(tag.name)) {
-              if (hasInTableScope("tr")) {
-                clearStackBackToTableRowContext()
-                pop()
-                mode = InTableBody
-                processEndTag(tag)
-              }
+            // parse5 deviates from the spec here (parser/index.js:2850): the
+            // row closes when EITHER the named section OR a tr is in table
+            // scope, so a </tbody> whose tbody is out of scope (e.g. a tr
+            // sitting directly in template content) still closes the row and
+            // reprocesses in IN_TABLE_BODY. The spec would ignore it; we
+            // mirror parse5 (found by the trace-transition differential,
+            // seed 0x2B2B2B2B).
+            if (hasInTableScope(tag.name) || hasInTableScope("tr")) {
+              clearStackBackToTableRowContext()
+              pop()
+              mode = InTableBody
+              processEndTag(tag)
             } else ()
           case "body" | "caption" | "col" | "colgroup" | "html" | "td" | "th" =>
             ()

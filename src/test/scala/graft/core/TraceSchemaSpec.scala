@@ -145,4 +145,25 @@ class TraceSchemaSpec extends AnyFunSuite {
         "IN_BODY" -> "IN_SELECT_IN_TABLE",
         "IN_SELECT_IN_TABLE" -> "IN_TABLE", "IN_TABLE" -> "IN_BODY"))
   }
+
+  /** Round-4 sweep regression (seed 0x2B2B2B2B): parse5's endTagInRow for
+    * tbody/tfoot/thead (parser/index.js:2850) closes the row when EITHER
+    * the named section OR a tr is in table scope — the spec would ignore a
+    * </tbody> whose tbody is out of scope. With a tr directly in template
+    * content, </tbody> must therefore trace IN_ROW -> IN_TABLE_BODY before
+    * the end-of-input template unwinding; a spec-faithful builder skips
+    * that hop. Expected sequence captured from the reference's executable.
+    */
+  test("out-of-scope </tbody> in a template row still closes the row (r4 regression)") {
+    val transitions = traced("<template id=i><tr hidden=false></tbody>").collect {
+      case t: TraceInsertionModeTransitionEvent => (t.fromMode, t.toMode)
+    }
+    assert(transitions == Vector(
+      "INITIAL" -> "BEFORE_HTML", "BEFORE_HTML" -> "BEFORE_HEAD",
+      "BEFORE_HEAD" -> "IN_HEAD", "IN_HEAD" -> "IN_TEMPLATE",
+      "IN_TEMPLATE" -> "IN_TABLE_BODY", "IN_TABLE_BODY" -> "IN_ROW",
+      "IN_ROW" -> "IN_TABLE_BODY",
+      "IN_TABLE_BODY" -> "IN_HEAD", "IN_HEAD" -> "AFTER_HEAD",
+      "AFTER_HEAD" -> "IN_BODY"))
+  }
 }
