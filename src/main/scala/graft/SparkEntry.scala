@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, PdfGen, PdfOps, Similarity, TextStats}
 import graft.pipeline.{ConvDigest, Extraction, TranscriptTurn, Transcripts}
 
 /** Driver contract — one `queries` entry per implemented operator family
@@ -687,6 +687,45 @@ object SparkEntry {
           col("pixel_sum"))
     }),
 
+    // ---- PDF leg of the main-content pipeline: from-scratch PDF parse
+    // (classic xref tables AND 1.5+ xref streams + object streams, Flate
+    // with predictors, content-stream text interpreter with layout
+    // assembly). Payloads are PdfGen.syntheticPdf(id) — the id selects the
+    // structural writer variant (modern/classic, raw/compressed, Tj / ' /
+    // TJ show styles) — except id % 7 == 0 rows, which carry raw text bytes
+    // to exercise the poison-row path. The oracle restates page count and
+    // the FULL extracted text from the generator's closed-form formulas:
+    // if the parser missed a page, line, kern or show operator, the strings
+    // could not match.
+    "q_pdf_text" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload =
+            if (id % 7L == 0L) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else PdfGen.syntheticPdf(id)
+          (id, payload)
+        }
+        .toDF("doc_id", "payload")
+      PdfOps.extract(media).toDF()
+        .select(col("doc_id"), col("n_pages"), col("text"), col("error"))
+    }),
+
+    // per-page LAYOUT evidence: line counts + top/bottom baseline y + the
+    // first line's text, all closed-form in (doc_id, page)
+    "q_pdf_layout" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .filter((id: Long) => id % 7L != 0L)
+        .map((id: Long) => (id, PdfGen.syntheticPdf(id)))
+        .toDF("doc_id", "payload")
+      PdfOps.pages(media).toDF()
+    }),
+
     // ---- relational sanity over the corpus -----------------------------
     "q_doc_stats" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"), col("source"))
@@ -1092,6 +1131,32 @@ object SparkEntry {
         "CAST(3 AS BIGINT) AS channels, 'stub' AS format, " +
         "CAST(-1 AS BIGINT) AS pixel_sum " +
         "FROM documents WHERE doc_id % 7 = 0"),
+
+    // Closed-form replay of PdfGen.syntheticPdf: page count and the FULL
+    // extracted text restated from the generator formulas (nPages = 1 +
+    // id mod 3, nLines = 2 + (id+p) mod 3, text = "doc i page p line j",
+    // pages joined by a blank line); non-PDF rows replay the poison path.
+    "q_pdf_text" ->
+      ("SELECT doc_id, CAST(0 AS BIGINT) AS n_pages, CAST(NULL AS VARCHAR) AS text, " +
+        "'not_pdf' AS error FROM documents WHERE doc_id % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS n_pages, " +
+        "list_aggregate(list_transform(range(0, 1 + doc_id % 3), p -> " +
+        "list_aggregate(list_transform(range(0, 2 + (doc_id + p) % 3), j -> " +
+        "'doc ' || doc_id || ' page ' || p || ' line ' || j), 'string_agg', chr(10))), " +
+        "'string_agg', chr(10) || chr(10)) AS text, " +
+        "CAST(NULL AS VARCHAR) AS error " +
+        "FROM documents WHERE doc_id % 7 <> 0"),
+
+    // layout replay: baseline y of line j is 720 - 20*j at font size 12
+    "q_pdf_layout" ->
+      ("SELECT d.doc_id, CAST(g.p AS BIGINT) AS page, " +
+        "CAST(2 + (d.doc_id + g.p) % 3 AS BIGINT) AS n_lines, " +
+        "CAST(720 AS BIGINT) AS top_y, " +
+        "CAST(720 - 20 * (1 + (d.doc_id + g.p) % 3) AS BIGINT) AS bottom_y, " +
+        "'doc ' || d.doc_id || ' page ' || g.p || ' line 0' AS first_line " +
+        "FROM documents d, generate_series(0, 2) AS g(p) " +
+        "WHERE d.doc_id % 7 <> 0 AND g.p < 1 + d.doc_id % 3"),
 
     "q_doc_stats" ->
       ("SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, avg(n_chars) AS avg_chars " +

@@ -1,0 +1,225 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.Deflater
+
+/** Deterministic synthetic PDF writer (oracle-friendly).
+  *
+  * Every decoded property of `syntheticPdf(id)` is CLOSED-FORM in the doc
+  * id, so a SQL oracle can restate the extraction output without touching
+  * the bytes:
+  *
+  *   nPages     = 1 + id mod 3
+  *   nLines(p)  = 2 + (id + p) mod 3
+  *   text(p, j) = "doc <id> page <p> line <j>"
+  *   baseline y = 720 - 20*j   (x = 72, font size 12)
+  *
+  * and full-document text = pages joined by a blank line, page text = lines
+  * joined by newline.
+  *
+  * The WRITER varies structurally with the id so one oracle covers every
+  * structural path of [[Pdf.parse]]:
+  *   - id % 9 == 0  -> PDF 1.5 layout: cross-reference STREAM + object
+  *                     stream (catalog/pages/page/font objects compressed
+  *                     into an ObjStm), content streams Flate-compressed;
+  *   - otherwise    -> classic xref table; content streams Flate-compressed
+  *                     unless id % 4 == 0 (raw);
+  *   - id % 5 == 0  -> lines shown as TJ arrays with a small (-10) kern
+  *                     split mid-string (no space: above the -200 word-break
+  *                     threshold);
+  *   - else id % 3 == 0 -> lines shown with the `'` next-line operator and
+  *                     TL leading;
+  *   - else         -> plain Td/Tj moves.
+  */
+object PdfGen {
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+
+  def nPages(id: Long): Int = (1L + id % 3L).toInt
+  def nLines(id: Long, p: Int): Int = (2L + (id + p) % 3L).toInt
+  def lineText(id: Long, p: Int, j: Int): String = s"doc $id page $p line $j"
+
+  /** The extraction text [[Pdf.extractText]] must produce for
+    * `syntheticPdf(id)` — the Scala-side closed form (the DuckDB oracle
+    * restates the same formulas independently).
+    */
+  def expectedText(docId: Long): String = {
+    val id = docId & Long.MaxValue
+    (0 until nPages(id)).map { p =>
+      (0 until nLines(id, p)).map(j => lineText(id, p, j)).mkString("\n")
+    }.mkString("\n\n")
+  }
+
+  private def deflateBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    try {
+      d.setInput(b); d.finish()
+      val out = new ByteArrayOutputStream(b.length / 2 + 16)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Content stream for page `p` in the id-selected show-operator style. */
+  private def contentBytes(id: Long, p: Int): Array[Byte] = {
+    val n = nLines(id, p)
+    val sb = new StringBuilder(256)
+    sb.append("BT\n/F1 12 Tf\n")
+    if (id % 5L == 0L) { // TJ arrays with a non-breaking kern split
+      var j = 0
+      while (j < n) {
+        sb.append(if (j == 0) "72 720 Td\n" else "0 -20 Td\n")
+        val t = lineText(id, p, j)
+        val k = math.min(8, t.length - 1)
+        sb.append(s"[(${esc(t.substring(0, k))}) -10 (${esc(t.substring(k))})] TJ\n")
+        j += 1
+      }
+    } else if (id % 3L == 0L) { // ' next-line shows driven by TL
+      sb.append("20 TL\n72 740 Td\n")
+      var j = 0
+      while (j < n) { sb.append(s"(${esc(lineText(id, p, j))}) '\n"); j += 1 }
+    } else { // plain Td/Tj
+      var j = 0
+      while (j < n) {
+        sb.append(if (j == 0) "72 720 Td\n" else "0 -20 Td\n")
+        sb.append(s"(${esc(lineText(id, p, j))}) Tj\n")
+        j += 1
+      }
+    }
+    sb.append("ET\n")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  def syntheticPdf(docId: Long): Array[Byte] = {
+    val id = docId & Long.MaxValue
+    if (id % 9L == 0L) modernPdf(id) else classicPdf(id)
+  }
+
+  // ------------------------------------------------------------------
+  // Classic layout: uncompressed object bodies + xref TABLE
+
+  private def classicPdf(id: Long): Array[Byte] = {
+    val np = nPages(id)
+    val compress = id % 4L != 0L
+    val fontObj = 3 + 2 * np
+    val nObj = fontObj // highest object number
+    val bos = new ByteArrayOutputStream(2048)
+    val offsets = new Array[Long](nObj + 1)
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(n: Int): Unit = { offsets(n) = bos.size.toLong; w(s"$n 0 obj\n") }
+
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2)
+    w("<< /Type /Pages /Kids [" +
+      (0 until np).map(p => s"${3 + 2 * p} 0 R").mkString(" ") +
+      s"] /Count $np >>\nendobj\n")
+    for (p <- 0 until np) {
+      beginObj(3 + 2 * p)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents ${4 + 2 * p} 0 R >>\nendobj\n")
+      beginObj(4 + 2 * p)
+      val raw = contentBytes(id, p)
+      val data = if (compress) deflateBytes(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"<< /Length ${data.length}$filter >>\nstream\n")
+      bos.write(data, 0, data.length)
+      w("\nendstream\nendobj\n")
+    }
+    beginObj(fontObj)
+    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n")
+
+    val xrefOff = bos.size.toLong
+    w(s"xref\n0 ${nObj + 1}\n")
+    w("0000000000 65535 f\r\n")
+    for (n <- 1 to nObj) w(f"${offsets(n)}%010d 00000 n\r\n")
+    w(s"trailer\n<< /Size ${nObj + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Modern layout (PDF 1.5+): object stream + cross-reference STREAM
+
+  private def modernPdf(id: Long): Array[Byte] = {
+    val np = nPages(id)
+    val fontObj = 3 + 2 * np
+    val objStmObj = fontObj + 1
+    val xrefObj = fontObj + 2
+    val bos = new ByteArrayOutputStream(2048)
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+
+    w("%PDF-1.5\n%âãÏÓ\n")
+
+    // content streams live directly in the file (streams cannot be in an ObjStm)
+    val contentOffsets = new Array[Long](np)
+    for (p <- 0 until np) {
+      contentOffsets(p) = bos.size.toLong
+      w(s"${4 + 2 * p} 0 obj\n")
+      val data = deflateBytes(contentBytes(id, p))
+      w(s"<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+      bos.write(data, 0, data.length)
+      w("\nendstream\nendobj\n")
+    }
+
+    // the compressed (non-stream) objects, in ObjStm index order
+    val stmObjects: Vector[(Int, String)] =
+      Vector(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> ("<< /Type /Pages /Kids [" +
+          (0 until np).map(p => s"${3 + 2 * p} 0 R").mkString(" ") +
+          s"] /Count $np >>")) ++
+        (0 until np).map(p => (3 + 2 * p) ->
+          (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+            s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents ${4 + 2 * p} 0 R >>")) :+
+        fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+
+    val body = stmObjects.map(_._2).mkString("\n") + "\n"
+    val offsetsInBody = {
+      var off = 0
+      stmObjects.map { case (num, s) => val o = (num, off); off += s.length + 1; o }
+    }
+    val header = offsetsInBody.map { case (num, off) => s"$num $off" }.mkString(" ") + "\n"
+    val stmData = deflateBytes((header + body).getBytes(StandardCharsets.ISO_8859_1))
+
+    val objStmOff = bos.size.toLong
+    w(s"$objStmObj 0 obj\n<< /Type /ObjStm /N ${stmObjects.length} /First ${header.length} " +
+      s"/Length ${stmData.length} /Filter /FlateDecode >>\nstream\n")
+    bos.write(stmData, 0, stmData.length)
+    w("\nendstream\nendobj\n")
+
+    // cross-reference stream: W = [1 4 2], Index = [0, Size]
+    val size = xrefObj + 1
+    val rows = new ByteArrayOutputStream(size * 7)
+    def row(t: Int, f2: Long, f3: Int): Unit = {
+      rows.write(t)
+      rows.write(((f2 >> 24) & 0xff).toInt); rows.write(((f2 >> 16) & 0xff).toInt)
+      rows.write(((f2 >> 8) & 0xff).toInt); rows.write((f2 & 0xff).toInt)
+      rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
+    }
+    val inStmIndex = stmObjects.map(_._1).zipWithIndex.toMap
+    val xrefStreamOff = bos.size.toLong
+    for (n <- 0 until size) {
+      if (n == 0) row(0, 0L, 0xffff)
+      else if (inStmIndex.contains(n)) row(2, objStmObj.toLong, inStmIndex(n))
+      else if (n >= 4 && n <= 4 + 2 * (np - 1) && (n - 4) % 2 == 0) row(1, contentOffsets((n - 4) / 2), 0)
+      else if (n == objStmObj) row(1, objStmOff, 0)
+      else if (n == xrefObj) row(1, xrefStreamOff, 0)
+      else row(0, 0L, 0)
+    }
+    val xrefData = deflateBytes(rows.toByteArray)
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R " +
+      s"/Length ${xrefData.length} /Filter /FlateDecode >>\nstream\n")
+    bos.write(xrefData, 0, xrefData.length)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefStreamOff\n%%EOF\n")
+    bos.toByteArray
+  }
+}

@@ -101,6 +101,16 @@ object Smoke {
     println("text: " + main.text.replace("\n", "[NL]"))
     println("fallback (no candidate): [" +
       MainContent.extractOrDocument(HtmlParser.parse("<p>short</p>")) + "]")
+    println("=== PDF parse + layout (classic xref / xref-stream+ObjStm) ===")
+    for (id <- Seq(1L, 9L)) { // 1 = classic table, 9 = modern xref stream
+      val pdf = graft.ops.Pdf.parse(graft.ops.PdfGen.syntheticPdf(id))
+      val ok = pdf.text == graft.ops.PdfGen.expectedText(id)
+      println(s"id=$id v=${pdf.version} pages=${pdf.pages.length} " +
+        s"lines0=${pdf.pages.head.lines.length} " +
+        s"y0=${pdf.pages.head.lines.head.y} closedFormMatch=$ok warn=${pdf.warnings}")
+    }
+    try graft.ops.Pdf.parse("not a pdf at all".getBytes)
+    catch { case e: graft.ops.PdfParseException => println("poison payload -> " + e.getMessage) }
     println("DONE")
 
   }
