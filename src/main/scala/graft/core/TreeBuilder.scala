@@ -1174,8 +1174,10 @@ final class TreeBuilder(
     // parse5 stopParsing (parser/index.js:2204-2231): EOF end locations for
     // whatever remains open — everything above <body> unconditionally, then
     // html only when it never saw a matching end tag, and body only when
-    // html itself lacked one AND body never saw its own.
-    if (captureSpans) {
+    // html itself lacked one AND body never saw its own. The walk lives
+    // INSIDE stopParse, so it only fires when the EOF dispatch reached a
+    // stopping mode (`stopped`): in the Undefined mode it never does.
+    if (captureSpans && stopped) {
       val target = if (fragmentContext != null) 0 else 2
       var i = stack.length - 1
       while (i >= target) { setEndLocationAt(stack(i), pos, pos, null); i -= 1 }
@@ -1233,7 +1235,11 @@ final class TreeBuilder(
           AfterAfterFrameset =>
         stopped = true
       case _ =>
-        stopped = true
+        // InsertionMode.Undefined: parse5's onEof switch has no case for the
+        // literal-undefined mode (parser/index.js:1126, default: do nothing),
+        // so stopParse — and with it the EOF end-location walk — never runs.
+        // Open elements keep their initial start-tag-only spans.
+        ()
     }
   }
 

@@ -67,6 +67,46 @@ class PublicAttrSpec extends AnyFunSuite {
     assert(math.attributes.map(_.name) == Vector("definitionURL"))
   }
 
+  // Regression (divergence #16, seed 0xF00DFACE): when _resetInsertionMode
+  // lands on a FOREIGN-namespace <template> (tagID-based, namespace-blind)
+  // with an empty template-mode stack, parse5's insertion mode becomes
+  // literal `undefined`. From then on every HTML-rule token — INCLUDING
+  // EOF — falls through the dispatch's `default: do nothing`, so stopParse
+  // never runs and still-open elements keep their initial start-tag-only
+  // spans (no EOF end-location walk). Expected spans captured from the
+  // reference's public layer under node.
+  test("undefined insertion mode at EOF: no end-location walk, tokens dropped") {
+    val doc = HtmlParser.parse(
+      "<svg style=a>alpha<template x=1>A<desc class=c>trail <template y=2>B</template><title hidden>z",
+      ParseOptions(captureSpans = true))
+    val svg = Traversal.findAllByTagName(doc.children, "svg").next()
+    assert(svg.span.contains(Span(0, 13))) // start-tag span only, NOT EOF 95
+    val templates = Traversal.findAllByTagName(doc.children, "template").toVector
+    assert(templates.map(_.span) ==
+      Vector(Some(Span(18, 32)), Some(Span(53, 79)))) // outer: start tag; inner: </template>
+    val desc = Traversal.findAllByTagName(doc.children, "desc").next()
+    assert(desc.span.contains(Span(33, 47)))
+    // <title hidden> and the trailing z arrive in the undefined mode: dropped
+    assert(!Traversal.findAllByTagName(doc.children, "title").hasNext)
+    assert(!Traversal.textContent(doc.children).contains("z"))
+  }
+
+  // Contrast case: same shape WITHOUT the inner HTML template close, so the
+  // mode stays defined — title IS inserted (RCDATA swallows the tail) and
+  // at EOF parse5 pops it via eofInText with `currentToken` still the title
+  // START tag (currentToken only updates on tag tokens), giving end =
+  // that tag's START offset; the stopParse walk then stamps the rest.
+  test("text-mode EOF: title end from the stale start-tag token, others EOF-stamped") {
+    val in = "<svg style=a>alpha<template x=1>A<desc class=c>trail<title hidden>z"
+    val doc = HtmlParser.parse(in, ParseOptions(captureSpans = true))
+    val svg = Traversal.findAllByTagName(doc.children, "svg").next()
+    assert(svg.span.contains(Span(0, in.length)))
+    val title = Traversal.findAllByTagName(doc.children, "title").next()
+    assert(title.span.contains(Span(52, 52)))
+    val desc = Traversal.findAllByTagName(doc.children, "desc").next()
+    assert(desc.span.contains(Span(33, in.length)))
+  }
+
   test("unadjusted html-content attrs keep the qualified form") {
     // outside foreign content no adjustment runs: `xlink:href` stays verbatim
     val doc = HtmlParser.parse("<div xlink:href='u' data-x='1'>t</div>")
