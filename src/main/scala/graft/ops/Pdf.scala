@@ -816,6 +816,114 @@ object Pdf {
     */
   val JoinGapEm: Double = 0.3
 
+  /** A parsed ToUnicode CMap: source code width in bytes (1 or 2) and the
+    * code → text mapping (bfchar + expanded bfrange entries).
+    */
+  final case class ToUnicodeCMap(codeBytes: Int, map: Map[Int, String])
+
+  /** Per-font text metadata resolved from the page resources: Type0-ness,
+    * optional ToUnicode CMap, and the simple-font /Widths table (glyph
+    * widths in thousandths of an em, indexed from /FirstChar).
+    */
+  private final case class FontInfo(type0: Boolean, toUnicode: Option[ToUnicodeCMap],
+                                    firstChar: Int, widths: Array[Double])
+
+  /** Parse a ToUnicode CMap stream: begincodespacerange (source width),
+    * beginbfchar pairs, beginbfrange triples (continuous or array form).
+    * Lenient: anything unrecognised is skipped; entry count is bounded.
+    */
+  def parseToUnicodeCMap(data: Array[Byte]): ToUnicodeCMap = {
+    val lx = new Lexer(data, 0)
+    val m = mutable.HashMap.empty[Int, String]
+    var codeBytes = 0
+    val stack = mutable.ArrayBuffer.empty[PObj]
+    def codeOf(s: PStr): Int = {
+      var v = 0; var i = 0
+      while (i < s.bytes.length && i < 4) { v = (v << 8) | (s.bytes(i) & 0xff); i += 1 }
+      v
+    }
+    def textOf(s: PStr): String = { // UTF-16BE destination
+      val sb = new java.lang.StringBuilder(s.bytes.length / 2)
+      var i = 0
+      while (i + 1 < s.bytes.length) {
+        sb.append((((s.bytes(i) & 0xff) << 8) | (s.bytes(i + 1) & 0xff)).toChar)
+        i += 2
+      }
+      sb.toString
+    }
+    var guard = 0
+    while (!lx.atEnd && guard < (1 << 20)) {
+      guard += 1
+      lx.skipWs()
+      if (!lx.atEnd) {
+        val obj = try parseObject(lx, allowRefs = false, resolveLen = null)
+        catch { case NonFatal(_) => PNull }
+        obj match {
+          case PName(op) if op.startsWith("#op:") => op.substring(4) match {
+            case "begincodespacerange" =>
+              // next hex string's byte length fixes the source code width
+              stack.clear()
+            case "endcodespacerange" =>
+              stack.collectFirst { case s: PStr => s }
+                .foreach(s => if (codeBytes == 0) codeBytes = math.max(1, math.min(2, s.bytes.length)))
+              stack.clear()
+            case "endbfchar" =>
+              var i = 0
+              while (i + 1 < stack.length) {
+                (stack(i), stack(i + 1)) match {
+                  case (src: PStr, dst: PStr) =>
+                    if (codeBytes == 0) codeBytes = math.max(1, math.min(2, src.bytes.length))
+                    if (m.size < 65536) m(codeOf(src)) = textOf(dst)
+                  case _ => ()
+                }
+                i += 2
+              }
+              stack.clear()
+            case "endbfrange" =>
+              var k = 0
+              while (k + 3 <= stack.length) {
+                (stack(k), stack(k + 1), stack(k + 2)) match {
+                  case (lo: PStr, hi: PStr, dst) =>
+                    if (codeBytes == 0) codeBytes = math.max(1, math.min(2, lo.bytes.length))
+                    val l = codeOf(lo); val h = math.min(codeOf(hi), l + 65535)
+                    dst match {
+                      case d: PStr =>
+                        val base = textOf(d)
+                        var c = l
+                        while (c <= h && m.size < 65536) {
+                          val t =
+                            if (base.isEmpty) ""
+                            else base.substring(0, base.length - 1) +
+                              (base.charAt(base.length - 1) + (c - l)).toChar
+                          m(c) = t
+                          c += 1
+                        }
+                      case PArr(items) =>
+                        var c = l
+                        var j = 0
+                        while (c <= h && j < items.length && m.size < 65536) {
+                          items(j) match { case d: PStr => m(c) = textOf(d); case _ => () }
+                          c += 1; j += 1
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+                k += 3
+              }
+              stack.clear()
+            case "endcmap" => stack.clear()
+            case _ => stack.clear()
+          }
+          case other =>
+            stack += other
+            if (stack.length > 3072) stack.remove(0, stack.length - 64)
+        }
+      }
+    }
+    ToUnicodeCMap(if (codeBytes == 0) 1 else codeBytes, m.toMap)
+  }
+
   private final class Interp(doc: Doc, resources: PDict) {
     var ctm: Array[Double] = Identity
     val ctmStack = mutable.ArrayBuffer.empty[Array[Double]]
@@ -827,45 +935,102 @@ object Pdf {
     var wordSpacing = 0.0
     var hScale = 1.0
     var leading = 0.0
-    var type0 = false
+    var font: FontInfo = FontInfo(type0 = false, None, 0, Array.empty)
     val runs = Vector.newBuilder[TextRun]
     var nRuns = 0
 
-    private val fontKind = mutable.HashMap.empty[String, Boolean] // name -> isType0
+    private val fontCache = mutable.HashMap.empty[String, FontInfo]
 
     def setFont(name: String, size: Double): Unit = {
       fontSize = size
-      type0 = fontKind.getOrElseUpdate(name, {
+      font = fontCache.getOrElseUpdate(name, {
         doc.resolve(resources.get("Font").getOrElse(PNull)) match {
           case fonts: PDict =>
             doc.resolve(fonts.get(name).getOrElse(PNull)) match {
-              case fd: PDict => fd.get("Subtype").contains(PName("Type0"))
-              case _ => false
+              case fd: PDict =>
+                val type0 = fd.get("Subtype").contains(PName("Type0"))
+                val toUni = doc.resolve(fd.get("ToUnicode").getOrElse(PNull)) match {
+                  case ps: PStream =>
+                    try Some(parseToUnicodeCMap(doc.decodeStream(ps)))
+                    catch { case NonFatal(_) => doc.warn("bad_tounicode"); None }
+                  case _ => None
+                }
+                val firstChar = doc.resolve(fd.get("FirstChar").getOrElse(PNull)) match {
+                  case PNum(v) => v.toInt; case _ => 0
+                }
+                val widths = doc.resolve(fd.get("Widths").getOrElse(PNull)) match {
+                  case PArr(items) => items.map(o => doc.resolve(o) match {
+                    case PNum(v) => v; case _ => GlyphWidthEm * 1000.0
+                  }).toArray
+                  case _ => Array.empty[Double]
+                }
+                FontInfo(type0, toUni, firstChar, widths)
+              case _ => FontInfo(type0 = false, None, 0, Array.empty)
             }
-          case _ => false
+          case _ => FontInfo(type0 = false, None, 0, Array.empty)
         }
       })
     }
 
-    def decodeText(bytes: Array[Byte]): String =
-      if (type0) { // Identity CMap: UTF-16BE code units
-        val sb = new java.lang.StringBuilder(bytes.length / 2)
+    /** Decode string bytes through the current font: ToUnicode CMap when
+      * present (subset fonts), else Identity UTF-16BE for Type0, else
+      * Latin-1 (the standard simple-font encodings' shared core).
+      */
+    def decodeText(bytes: Array[Byte]): String = font.toUnicode match {
+      case Some(cmap) =>
+        val step = cmap.codeBytes
+        val sb = new java.lang.StringBuilder(bytes.length)
         var i = 0
-        while (i + 1 < bytes.length) {
-          sb.append((((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)).toChar)
-          i += 2
+        while (i + step <= bytes.length) {
+          var code = 0; var k = 0
+          while (k < step) { code = (code << 8) | (bytes(i + k) & 0xff); k += 1 }
+          cmap.map.get(code) match {
+            case Some(t) => sb.append(t)
+            case None => sb.append(code.toChar) // unmapped: identity fallback
+          }
+          i += step
         }
         sb.toString
-      } else new String(bytes, StandardCharsets.ISO_8859_1)
+      case None =>
+        if (font.type0) { // Identity CMap: UTF-16BE code units
+          val sb = new java.lang.StringBuilder(bytes.length / 2)
+          var i = 0
+          while (i + 1 < bytes.length) {
+            sb.append((((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)).toChar)
+            i += 2
+          }
+          sb.toString
+        } else new String(bytes, StandardCharsets.ISO_8859_1)
+    }
 
     private def advance(tx: Double): Unit =
       tm = matMul(Array(1.0, 0.0, 0.0, 1.0, tx, 0.0), tm)
 
-    private def textWidth(s: String): Double = {
-      var spaces = 0
-      var i = 0
-      while (i < s.length) { if (s.charAt(i) == ' ') spaces += 1; i += 1 }
-      (s.length * GlyphWidthEm * fontSize + s.length * charSpacing + spaces * wordSpacing) * hScale
+    /** Advance width of a shown string. Uses the font's real /Widths table
+      * (simple fonts, per char code) when present; the documented 0.5 em
+      * estimate otherwise. Word spacing applies to byte code 32 per spec.
+      */
+    private def textWidth(bytes: Array[Byte], decoded: String): Double = {
+      if (!font.type0 && font.widths.nonEmpty) {
+        var w = 0.0
+        var i = 0
+        while (i < bytes.length) {
+          val code = bytes(i) & 0xff
+          val gi = code - font.firstChar
+          val gw =
+            if (gi >= 0 && gi < font.widths.length) font.widths(gi)
+            else GlyphWidthEm * 1000.0
+          w += gw / 1000.0 * fontSize + charSpacing + (if (code == 32) wordSpacing else 0.0)
+          i += 1
+        }
+        w * hScale
+      } else {
+        var spaces = 0
+        var i = 0
+        while (i < decoded.length) { if (decoded.charAt(i) == ' ') spaces += 1; i += 1 }
+        (decoded.length * GlyphWidthEm * fontSize + decoded.length * charSpacing +
+          spaces * wordSpacing) * hScale
+      }
     }
 
     def show(str: PStr): Unit = showParts(Vector(Left(str)))
@@ -883,7 +1048,7 @@ object Pdf {
         case Left(ps) =>
           val t = decodeText(ps.bytes)
           sb.append(t)
-          val w = textWidth(t)
+          val w = textWidth(ps.bytes, t)
           width += w
           advance(w)
         case Right(adj) =>

@@ -277,6 +277,75 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.parse(bos.toByteArray).pages.head.text == "Hi")
   }
 
+  /** One-page classic PDF with an arbitrary font dict and extra objects. */
+  private def onePageWithFont(content: String, fontBody: String,
+                              extra: Seq[String] = Nil): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(ascii(s))
+    val nObj = 5 + extra.length
+    val offs = new Array[Long](nObj + 1)
+    def obj(n: Int, body: String): Unit = { offs(n) = bos.size.toLong; w(s"$n 0 obj\n$body\nendobj\n") }
+    w("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    obj(5, fontBody)
+    extra.zipWithIndex.foreach { case (body, i) => obj(6 + i, body) }
+    val xr = bos.size.toLong
+    w(s"xref\n0 ${nObj + 1}\n0000000000 65535 f\r\n")
+    for (n <- 1 to nObj) w(f"${offs(n)}%010d 00000 n\r\n")
+    w(s"trailer\n<< /Size ${nObj + 1} /Root 1 0 R >>\nstartxref\n$xr\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("ToUnicode bfchar mapping decodes subset-font codes") {
+    val cmap = "/CIDInit /ProcSet findresource begin\n" +
+      "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+      "2 beginbfchar\n<01> <0048>\n<02> <0069>\nendbfchar\nendcmap\nend"
+    val doc = Pdf.parse(onePageWithFont(
+      "BT /F1 12 Tf 72 720 Td <0102> Tj ET",
+      "<< /Type /Font /Subtype /TrueType /BaseFont /SubsetX /ToUnicode 6 0 R >>",
+      Seq(s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream")))
+    assert(doc.pages.head.text == "Hi")
+  }
+
+  test("ToUnicode bfrange: continuous run and array destinations") {
+    val cmap = "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+      "2 beginbfrange\n<01> <03> <0061>\n<10> <11> [<0058> <0059>]\nendbfrange\nendcmap"
+    val doc = Pdf.parse(onePageWithFont(
+      "BT /F1 12 Tf 72 720 Td <010203> Tj 0 -20 Td <1011> Tj ET",
+      "<< /Type /Font /Subtype /TrueType /BaseFont /SubsetX /ToUnicode 6 0 R >>",
+      Seq(s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream")))
+    assert(doc.pages.head.lines.map(_.text) == Vector("abc", "XY"))
+  }
+
+  test("two-byte ToUnicode codespace decodes 2-byte codes with multi-char targets") {
+    val cmap = "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "1 beginbfchar\n<0001> <00660066> \nendbfchar\nendcmap" // ff ligature -> "ff"
+    val doc = Pdf.parse(onePageWithFont(
+      "BT /F1 12 Tf 72 720 Td <0001> Tj ET",
+      "<< /Type /Font /Subtype /Type0 /BaseFont /SubsetX /Encoding /Identity-H /ToUnicode 6 0 R >>",
+      Seq(s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream")))
+    assert(doc.pages.head.text == "ff")
+  }
+
+  test("/Widths table drives run advances (narrow glyphs expose a real gap)") {
+    // glyph width 250/1000 em at size 10 -> 2.5/char; "aa" at 72 truly ends
+    // at 77; next run at 80.5 -> gap 3.5 > 0.3em=3 -> space. The 0.5em
+    // estimate would put the end at 82 (gap -1.5 -> joined).
+    val content = "BT /F1 10 Tf 72 720 Td (aa) Tj ET " +
+      "BT /F1 10 Tf 80.5 720 Td (bb) Tj ET"
+    val withWidths = Pdf.parse(onePageWithFont(content,
+      "<< /Type /Font /Subtype /TrueType /BaseFont /Mono /FirstChar 97 " +
+        "/Widths [250 250] >>"))
+    assert(withWidths.pages.head.text == "aa bb")
+    val noWidths = Pdf.parse(onePageWithFont(content,
+      "<< /Type /Font /Subtype /TrueType /BaseFont /Mono >>"))
+    assert(noWidths.pages.head.text == "aabb")
+  }
+
   test("names with #xx hex escapes") {
     // /F#31 is /F1: font lookup still resolves
     val doc = Pdf.parse(onePage("BT /F#31 12 Tf 72 720 Td (escname) Tj ET"))
