@@ -36,12 +36,17 @@ import scala.util.control.NonFatal
   * every failure surfaced as a typed [[PdfParseException]] so the Spark
   * stage ([[PdfOps]]) can degrade one row instead of killing a task.
   *
-  * Scope note (documented, not hidden): glyph widths use a fixed 0.5 em
-  * estimate (no embedded-font metric parsing), simple fonts decode as
-  * Latin-1 (covers the standard 8-bit encodings' ASCII range), and Type0
-  * fonts decode as UTF-16BE code units (Identity CMaps). That is the
-  * standard fidelity/complexity trade for boilerplate-strip pipelines —
-  * positions and text content are exact for the dominant simple-font case.
+  * Font handling: /ToUnicode CMaps are parsed (codespace width, bfchar,
+  * bfrange in continuous and array form) and drive show-string decoding —
+  * the subset-font case that dominates real-world PDFs; simple-font
+  * advance widths come from the font's /Widths table when present.
+  * Scope note (documented, not hidden): without /Widths, glyph advances
+  * use a fixed 0.5 em estimate (no embedded font-program metric parsing);
+  * without /ToUnicode, simple fonts decode as Latin-1 (the standard 8-bit
+  * encodings' shared core) and Type0 fonts as UTF-16BE code units
+  * (Identity CMaps). That is the standard fidelity/complexity trade for
+  * boilerplate-strip pipelines — positions and text content are exact for
+  * the dominant simple-font and ToUnicode-subset cases.
   */
 final class PdfParseException(msg: String) extends RuntimeException(msg)
 

@@ -30,7 +30,13 @@ import java.util.zip.Deflater
   *                     threshold);
   *   - else id % 3 == 0 -> lines shown with the `'` next-line operator and
   *                     TL leading;
-  *   - else         -> plain Td/Tj moves.
+  *   - else         -> plain Td/Tj moves;
+  *   - id % 11 == 0 (classic only) -> the font carries a /ToUnicode CMap
+  *                     (identity bfrange over the ASCII codespace) and a
+  *                     /Widths table of 500/1000 em — the SAME decoded text
+  *                     and the same advances as the default path, so the
+  *                     closed-form oracle also exercises CMap parsing and
+  *                     width-table arithmetic.
   */
 object PdfGen {
 
@@ -109,8 +115,9 @@ object PdfGen {
   private def classicPdf(id: Long): Array[Byte] = {
     val np = nPages(id)
     val compress = id % 4L != 0L
+    val withCMap = id % 11L == 0L
     val fontObj = 3 + 2 * np
-    val nObj = fontObj // highest object number
+    val nObj = if (withCMap) fontObj + 1 else fontObj // +1: ToUnicode stream
     val bos = new ByteArrayOutputStream(2048)
     val offsets = new Array[Long](nObj + 1)
     def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -135,7 +142,22 @@ object PdfGen {
       w("\nendstream\nendobj\n")
     }
     beginObj(fontObj)
-    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n")
+    if (withCMap) {
+      // identity ToUnicode over ASCII + uniform 500/1000 em widths: decoded
+      // text and advances equal the default path, so the closed-form oracle
+      // holds while the CMap/Widths machinery is on the hot path
+      w("<< /Type /Font /Subtype /TrueType /BaseFont /SubsetAA+Mono " +
+        s"/FirstChar 32 /Widths [${Seq.fill(95)("500").mkString(" ")}] " +
+        s"/ToUnicode ${fontObj + 1} 0 R >>\nendobj\n")
+      beginObj(fontObj + 1)
+      val cmap = "/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "1 beginbfrange\n<20> <7E> <0020>\nendbfrange\n" +
+        "endcmap\nend"
+      w(s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n")
+    } else {
+      w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n")
+    }
 
     val xrefOff = bos.size.toLong
     w(s"xref\n0 ${nObj + 1}\n")
