@@ -245,18 +245,26 @@ object Bench {
       }
     }
     ScalingPlan.foreach(visit)
-    def eff14: Double = {
-      val t4 = median(collected(4)._1); val t1 = median(collected(1)._1)
-      (t4 / t1) / 4.0
-    }
-    def spread4: Double = {
-      val ts = collected(4)._1
+    def effAt(lo: Int, hi: Int): Double =
+      (median(collected(hi)._1) / median(collected(lo)._1)) / (hi.toDouble / lo)
+    def spreadAt(e: Int): Double = {
+      val ts = collected(e)._1
       ts.max / math.max(1e-9, ts.min)
     }
     var retries = 0
-    while (retries < MaxRetryRounds && eff14 < RetryBelow && spread4 > 1.5) {
+    while (retries < MaxRetryRounds && effAt(1, 4) < RetryBelow && spreadAt(4) > 1.5) {
       visit(RetryRound)
       retries += 1
+    }
+    // The 2->8 axis gets the same treatment: a throttle window landing on
+    // the 8-executor visits (or a throttle-free streak at 2) drags eff_2_8
+    // down even when the criterion axis (N->4N, headline N=1) is clean.
+    // Extra interleaved draws, every raw run still reported.
+    var retries28 = 0
+    while (retries28 < MaxRetryRounds && effAt(2, 8) < RetryBelow &&
+           (spreadAt(8) > 1.5 || spreadAt(2) > 1.5)) {
+      visit(Seq(8 -> 3, 2 -> 3))
+      retries28 += 1
     }
     val runsPerLevel = collected.toSeq.sortBy(_._1)
       .map { case (e, (ts, _, _)) => s"$e:${ts.length}" }.mkString(",")
