@@ -18,9 +18,11 @@ import scala.util.control.NonFatal
   *  - classic `xref` tables with `/Prev` chains AND PDF 1.5+ cross-reference
   *    streams (`/Type /XRef`, `W` field widths, `Index` ranges) plus object
   *    streams (`/Type /ObjStm`) for compressed objects;
-  *  - stream filters: `FlateDecode` via `java.util.zip.Inflater` with PNG
-  *    predictors 10-15 (Up/Sub/Average/Paeth un-prediction), and
-  *    `ASCIIHexDecode`;
+  *  - stream filters: `FlateDecode` via `java.util.zip.Inflater` and
+  *    `LZWDecode` (9-12 bit MSB-first codes, EarlyChange 0/1), both with PNG
+  *    predictors 10-15 (None/Up/Sub/Average/Paeth un-prediction), plus
+  *    `ASCIIHexDecode`, `ASCII85Decode` and `RunLengthDecode`, applied as a
+  *    chain in `/Filter` array order;
   *  - the page tree (`Kids` recursion, inherited `Resources`/`MediaBox`);
   *  - a content-stream text interpreter: full text-state machine (Tm/Tlm,
   *    Td TD T* TL Tc Tw Tz Ts Tf) composed with the graphics CTM (q/Q/cm),
@@ -432,6 +434,145 @@ object Pdf {
     out.toByteArray
   }
 
+  /** ASCII85Decode (ISO 32000 7.4.3): 5 chars '!'..'u' = 4 bytes base-85
+    * big-endian; 'z' = four zero bytes (group start only); '~>' terminates;
+    * a final partial group of n digits is padded with 'u' and yields n-1
+    * bytes. Whitespace is skipped anywhere.
+    */
+  private def ascii85Decode(data: Array[Byte], cap: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val group = new Array[Int](5)
+    var n = 0
+    var i = 0
+    // some producers open with '<~' — tolerate it
+    if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+    var done = false
+    def flush(k: Int): Unit = { // k digits present, emit k-1 bytes
+      var j = k
+      while (j < 5) { group(j) = 84; j += 1 }
+      var v = 0L
+      j = 0
+      while (j < 5) { v = v * 85L + group(j); j += 1 }
+      if (v > 0xFFFFFFFFL) throw new PdfParseException("a85_corrupt")
+      var shift = 24
+      j = 0
+      while (j < k - 1) { out.write(((v >>> shift) & 0xff).toInt); shift -= 8; j += 1 }
+      n = 0
+    }
+    while (i < data.length && !done) {
+      val b = data(i) & 0xff
+      if (b == '~') done = true
+      else if (b == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (b >= '!' && b <= 'u') {
+        group(n) = b - '!'; n += 1
+        if (n == 5) flush(5)
+        if (out.size > cap) throw new PdfParseException("budget:stream_bytes")
+      } else if (b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0) ()
+      else throw new PdfParseException("a85_corrupt")
+      i += 1
+    }
+    if (n == 1) throw new PdfParseException("a85_corrupt") // 1 leftover digit is invalid
+    if (n >= 2) flush(n)
+    if (out.size > cap) throw new PdfParseException("budget:stream_bytes")
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (ISO 32000 7.4.5): length byte L in 0..127 copies the
+    * next L+1 bytes; L in 129..255 repeats the next byte 257-L times; 128 is
+    * EOD. Truncated input keeps what decoded (lenient, like flate).
+    */
+  private def runLengthDecode(data: Array[Byte], cap: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2 + 16)
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        val take = math.min(l + 1, data.length - i)
+        out.write(data, i, take); i += take
+      } else {
+        if (i < data.length) {
+          val b = data(i); i += 1
+          var r = 257 - l
+          while (r > 0) { out.write(b); r -= 1 }
+        }
+      }
+      if (out.size > cap) throw new PdfParseException("budget:stream_bytes")
+    }
+    out.toByteArray
+  }
+
+  /** LZWDecode (ISO 32000 7.4.4 / TIFF variant): MSB-first variable-width
+    * codes starting at 9 bits; 256 = clear table, 257 = EOD; with
+    * EarlyChange=1 (default) the width grows one code early (at table size
+    * 2^w - 1, else at 2^w). Max width 12 bits.
+    */
+  private def lzwDecode(data: Array[Byte], earlyChange: Int, cap: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3 + 16)
+    // table entries 258+; literals 0-255 are implicit
+    var entries = new Array[Array[Byte]](4096)
+    var next = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    val grow = if (earlyChange == 0) 0 else 1
+    var acc = 0L
+    var nbits = 0
+    var i = 0
+    var done = false
+    def entryOf(code: Int): Array[Byte] =
+      if (code < 256) Array(code.toByte)
+      else {
+        val e = entries(code)
+        if (code >= next || e == null) throw new PdfParseException("lzw_corrupt")
+        e
+      }
+    while (!done) {
+      while (nbits < width && i < data.length) {
+        acc = (acc << 8) | (data(i) & 0xffL); nbits += 8; i += 1
+      }
+      if (nbits < width) done = true // truncated input: keep what decoded
+      else {
+        val code = ((acc >>> (nbits - width)) & ((1L << width) - 1)).toInt
+        nbits -= width
+        if (code == 257) done = true
+        else if (code == 256) { next = 258; width = 9; prev = null }
+        else {
+          val cur: Array[Byte] =
+            if (code == next && prev != null) { // the KwKwK case
+              val e = java.util.Arrays.copyOf(prev, prev.length + 1)
+              e(prev.length) = prev(0); e
+            } else entryOf(code)
+          out.write(cur, 0, cur.length)
+          if (out.size > cap) throw new PdfParseException("budget:stream_bytes")
+          if (prev != null && next < 4096) {
+            val e = java.util.Arrays.copyOf(prev, prev.length + 1)
+            e(prev.length) = cur(0)
+            entries(next) = e
+            next += 1
+            if (width < 12 && next + grow >= (1 << width)) width += 1
+          }
+          prev = cur
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Test seam: run one filter decoder directly (PdfSpec lives in
+    * graft.core; the workers above are private).
+    */
+  private[graft] def decodeFilterForTest(name: String, data: Array[Byte],
+                                         earlyChange: Int = 1): Array[Byte] =
+    name match {
+      case "LZW" => lzwDecode(data, earlyChange, MaxStreamBytes)
+      case "A85" => ascii85Decode(data, MaxStreamBytes)
+      case "RL"  => runLengthDecode(data, MaxStreamBytes)
+      case "AHx" => asciiHexDecode(data)
+      case other => throw new IllegalArgumentException(other)
+    }
+
   // ------------------------------------------------------------------
   // Document (xref + object access)
 
@@ -719,27 +860,40 @@ object Pdf {
         case PArr(items) => items.map(resolve)
         case _ => Vector.empty
       }
+      // /DecodeParms /Predictor applies to Flate AND LZW (ISO 32000 7.4.4.4)
+      def unpredict(parms: PObj, d0: Array[Byte]): Array[Byte] = parms match {
+        case pd: PDict =>
+          val pred = pd.get("Predictor").map(resolve) match { case Some(PNum(v)) => v.toInt; case _ => 1 }
+          if (pred >= 10) {
+            val cols = pd.get("Columns").map(resolve) match { case Some(PNum(v)) => v.toInt; case _ => 1 }
+            val colors = pd.get("Colors").map(resolve) match { case Some(PNum(v)) => v.toInt; case _ => 1 }
+            val bpc = pd.get("BitsPerComponent").map(resolve) match { case Some(PNum(v)) => v.toInt; case _ => 8 }
+            val bpp = math.max(1, colors * bpc / 8)
+            pngUnpredict(d0, cols, bpp)
+          } else { if (pred != 1) warn(s"predictor_unsupported:$pred"); d0 }
+        case _ => d0
+      }
       var data = ps.raw
       var i = 0
       while (i < filters.length) {
         val parms = if (i < parmsArr.length) parmsArr(i) else PNull
         filters(i) match {
           case PName("FlateDecode") | PName("Fl") =>
-            data = inflate(data, MaxStreamBytes)
-            parms match {
-              case d: PDict =>
-                val pred = d.get("Predictor").map(resolve) match { case Some(PNum(v)) => v.toInt; case _ => 1 }
-                if (pred >= 10) {
-                  val cols = d.get("Columns").map(resolve) match { case Some(PNum(v)) => v.toInt; case _ => 1 }
-                  val colors = d.get("Colors").map(resolve) match { case Some(PNum(v)) => v.toInt; case _ => 1 }
-                  val bpc = d.get("BitsPerComponent").map(resolve) match { case Some(PNum(v)) => v.toInt; case _ => 8 }
-                  val bpp = math.max(1, colors * bpc / 8)
-                  data = pngUnpredict(data, cols, bpp)
-                } else if (pred != 1) warn(s"predictor_unsupported:$pred")
-              case _ => ()
+            data = unpredict(parms, inflate(data, MaxStreamBytes))
+          case PName("LZWDecode") | PName("LZW") =>
+            val early = parms match {
+              case pd: PDict => pd.get("EarlyChange").map(resolve) match {
+                case Some(PNum(v)) => v.toInt; case _ => 1
+              }
+              case _ => 1
             }
+            data = unpredict(parms, lzwDecode(data, early, MaxStreamBytes))
           case PName("ASCIIHexDecode") | PName("AHx") =>
             data = asciiHexDecode(data)
+          case PName("ASCII85Decode") | PName("A85") =>
+            data = ascii85Decode(data, MaxStreamBytes)
+          case PName("RunLengthDecode") | PName("RL") =>
+            data = runLengthDecode(data, MaxStreamBytes)
           case PName(other) =>
             warn(s"filter_unsupported:$other")
             data = Array.empty[Byte]

@@ -24,7 +24,12 @@ import java.util.zip.Deflater
   *                     stream (catalog/pages/page/font objects compressed
   *                     into an ObjStm), content streams Flate-compressed;
   *   - otherwise    -> classic xref table; content streams Flate-compressed
-  *                     unless id % 4 == 0 (raw);
+  *                     unless id % 4 == 0 (raw); among the compressed ones
+  *                     the WIRE filter varies: id % 13 == 1 -> LZWDecode,
+  *                     id % 13 == 2 -> RunLengthDecode, id % 13 == 3 ->
+  *                     [/ASCII85Decode /FlateDecode] chain (decoded text is
+  *                     identical — only the encoding differs, so the same
+  *                     closed-form oracle exercises every filter decoder);
   *   - id % 5 == 0  -> lines shown as TJ arrays with a small (-10) kern
   *                     split mid-string (no space: above the -200 word-break
   *                     threshold);
@@ -73,6 +78,119 @@ object PdfGen {
       out.toByteArray
     } finally d.end()
   }
+
+  /** ASCII85 encoder (ISO 32000 7.4.3): 4 bytes -> 5 chars '!'..'u',
+    * all-zero group -> 'z', final partial group of n bytes -> n+1 chars,
+    * terminated by `~>`.
+    */
+  private[graft] def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 5 / 4 + 8)
+    def group(v0: Long, nOut: Int): Unit = {
+      var v = v0
+      val cs = new Array[Byte](5)
+      var j = 4
+      while (j >= 0) { cs(j) = ((v % 85L) + '!').toByte; v /= 85L; j -= 1 }
+      out.write(cs, 0, nOut)
+    }
+    var i = 0
+    while (i + 4 <= data.length) {
+      val v = ((data(i) & 0xffL) << 24) | ((data(i + 1) & 0xffL) << 16) |
+        ((data(i + 2) & 0xffL) << 8) | (data(i + 3) & 0xffL)
+      if (v == 0L) out.write('z') else group(v, 5)
+      i += 4
+    }
+    val rem = data.length - i
+    if (rem > 0) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (if (j < rem) data(i + j) & 0xffL else 0L); j += 1 }
+      group(v, rem + 1)
+    }
+    out.write('~'); out.write('>')
+    out.toByteArray
+  }
+
+  /** RunLengthDecode encoder (ISO 32000 7.4.5): runs of >= 2 identical
+    * bytes become (257-len, byte); literals are broken before the next
+    * 2-run; 128 terminates.
+    */
+  private[graft] def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + data.length / 64 + 8)
+    var i = 0
+    while (i < data.length) {
+      var r = 1
+      while (i + r < data.length && r < 128 && data(i + r) == data(i)) r += 1
+      if (r >= 2) { out.write(257 - r); out.write(data(i)); i += r }
+      else {
+        var j = i + 1
+        while (j < data.length && (j - i) < 128 &&
+               !(j + 1 < data.length && data(j) == data(j + 1))) j += 1
+        out.write(j - i - 1); out.write(data, i, j - i); i = j
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
+  /** PDF/TIFF LZW encoder (ISO 32000 7.4.4): MSB-first variable-width codes
+    * from 9 bits, 256 = clear, 257 = EOD. With `earlyChange = 1` (the PDF
+    * default) the code width grows one entry early, exactly compensating a
+    * decoder whose table lags the encoder's by one entry; a clear is
+    * emitted before the 12-bit table fills.
+    */
+  private[graft] def lzwEncode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + 32)
+    var acc = 0L
+    var nbits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code
+      nbits += width
+      while (nbits >= 8) { out.write(((acc >>> (nbits - 8)) & 0xff).toInt); nbits -= 8 }
+    }
+    val table = new java.util.HashMap[Long, Integer]()
+    var next = 258
+    put(256)
+    var w = -1 // current prefix code (-1: none yet / just cleared)
+    var i = 0
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      if (w < 0) w = c
+      else {
+        val key = (w.toLong << 8) | c
+        val hit = table.get(key)
+        if (hit != null) w = hit.intValue
+        else {
+          put(w)
+          table.put(key, Integer.valueOf(next))
+          next += 1
+          // decoder's table lags one entry: bump when next - 1 + early hits 2^w
+          if (width < 12 && next - 1 + earlyChange >= (1 << width)) width += 1
+          if (next >= 4095) { put(256); table.clear(); next = 258; width = 9 }
+          // after a clear, c is the decoder's hasPrev=false first code —
+          // starting the next sequence from it is correct in both paths
+          w = c
+        }
+      }
+      i += 1
+    }
+    if (w >= 0) put(w)
+    put(257)
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Wire encoding for a compressed content stream: the id picks the
+    * filter so the closed-form oracle exercises every decoder; the filter
+    * array is in DECODE order (ASCII85 undone first, then Flate).
+    */
+  private def contentFilter(id: Long, raw: Array[Byte]): (Array[Byte], String) =
+    (id % 13L) match {
+      case 1L => (lzwEncode(raw), " /Filter /LZWDecode")
+      case 2L => (runLengthEncode(raw), " /Filter /RunLengthDecode")
+      case 3L => (ascii85Encode(deflateBytes(raw)), " /Filter [/ASCII85Decode /FlateDecode]")
+      case _ => (deflateBytes(raw), " /Filter /FlateDecode")
+    }
 
   /** Content stream for page `p` in the id-selected show-operator style. */
   private def contentBytes(id: Long, p: Int): Array[Byte] = {
@@ -135,8 +253,8 @@ object PdfGen {
         s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents ${4 + 2 * p} 0 R >>\nendobj\n")
       beginObj(4 + 2 * p)
       val raw = contentBytes(id, p)
-      val data = if (compress) deflateBytes(raw) else raw
-      val filter = if (compress) " /Filter /FlateDecode" else ""
+      val (data, filter) =
+        if (compress) contentFilter(id, raw) else (raw, "")
       w(s"<< /Length ${data.length}$filter >>\nstream\n")
       bos.write(data, 0, data.length)
       w("\nendstream\nendobj\n")

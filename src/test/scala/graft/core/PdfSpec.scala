@@ -215,6 +215,111 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.parse(bos.toByteArray).pages.head.text == "hex")
   }
 
+  /** One-page classic PDF whose content stream carries arbitrary BINARY
+    * data under the given stream-dict extras (e.g. " /Filter /LZWDecode").
+    */
+  private def onePageFiltered(extras: String, data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(ascii(s))
+    val offs = new Array[Long](6)
+    def obj(n: Int, body: String): Unit = { offs(n) = bos.size.toLong; w(s"$n 0 obj\n$body\nendobj\n") }
+    w("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    offs(4) = bos.size.toLong
+    w(s"4 0 obj\n<< /Length ${data.length}$extras >>\nstream\n")
+    bos.write(data, 0, data.length)
+    w("\nendstream\nendobj\n")
+    obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val xr = bos.size.toLong
+    w("xref\n0 6\n0000000000 65535 f\r\n")
+    for (n <- 1 to 5) w(f"${offs(n)}%010d 00000 n\r\n")
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xr\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("LZWDecode: the ISO 32000 worked example decodes exactly") {
+    val encoded = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01).map(_.toByte)
+    // the worked example's input bytes are DECIMAL 45/65/66
+    val expect = Array(45, 45, 45, 45, 45, 65, 45, 45, 45, 66).map(_.toByte)
+    assert(Pdf.decodeFilterForTest("LZW", encoded).toSeq == expect.toSeq)
+  }
+
+  test("LZW round-trips across 9->12-bit widths and a mid-stream clear, both EarlyChange values") {
+    val rnd = new java.util.Random(7)
+    // low-entropy data grows the table fast enough to cross every width
+    val data = Array.fill(120000)((rnd.nextInt(8) + 'a').toByte)
+    for (early <- Seq(1, 0)) {
+      val enc = PdfGen.lzwEncode(data, early)
+      assert(enc.length < data.length, s"early=$early should compress")
+      assert(Pdf.decodeFilterForTest("LZW", enc, early).toSeq == data.toSeq, s"early=$early")
+    }
+    // EarlyChange must actually change the wire: decoding with the wrong
+    // flag desyncs the width schedule past entry 510
+    val wrong = scala.util.Try(Pdf.decodeFilterForTest("LZW", PdfGen.lzwEncode(data, 1), 0))
+    assert(wrong.isFailure || wrong.get.toSeq != data.toSeq)
+    // tiny inputs round-trip too (incl. empty and the KwKwK pattern)
+    for (s <- Seq("", "a", "ab", "aaaa", "abababab")) {
+      val b = s.getBytes(StandardCharsets.ISO_8859_1)
+      assert(Pdf.decodeFilterForTest("LZW", PdfGen.lzwEncode(b)).toSeq == b.toSeq, s)
+    }
+  }
+
+  test("ASCII85Decode: classic vector, z-group, partial finals, whitespace, overflow") {
+    assert(new String(Pdf.decodeFilterForTest("A85", ascii("9jqo^~>")),
+      StandardCharsets.ISO_8859_1) == "Man ")
+    assert(Pdf.decodeFilterForTest("A85", ascii("z~>")).toSeq == Seq[Byte](0, 0, 0, 0))
+    val rnd = new java.util.Random(11)
+    for (n <- 0 to 9) { // every final-group residue; '<~' prefix; whitespace
+      val b = new Array[Byte](40 + n); rnd.nextBytes(b)
+      val enc = PdfGen.ascii85Encode(b)
+      assert(Pdf.decodeFilterForTest("A85", enc).toSeq == b.toSeq, s"n=$n")
+      val spaced = ascii("<~" + new String(enc, StandardCharsets.ISO_8859_1).grouped(3).mkString("\n"))
+      assert(Pdf.decodeFilterForTest("A85", spaced).toSeq == b.toSeq, s"n=$n spaced")
+    }
+    intercept[PdfParseException](Pdf.decodeFilterForTest("A85", ascii("uuuuu~>")))
+  }
+
+  test("RunLengthDecode: direct vectors and round-trip across the 128-byte caps") {
+    val direct = Array[Byte](2, 'a', 'b', 'c', (257 - 3).toByte, 'x', 128.toByte, 'Z')
+    assert(new String(Pdf.decodeFilterForTest("RL", direct),
+      StandardCharsets.ISO_8859_1) == "abcxxx") // trailing 'Z' is after EOD
+    val rnd = new java.util.Random(13)
+    val b = new Array[Byte](5000)
+    rnd.nextBytes(b)
+    java.util.Arrays.fill(b, 1000, 1400, 'r'.toByte) // run longer than 128
+    assert(Pdf.decodeFilterForTest("RL", PdfGen.runLengthEncode(b)).toSeq == b.toSeq)
+  }
+
+  test("generator filter variants hit the wire and parse (LZW / RunLength / A85+Flate chain)") {
+    def s(id: Long) = new String(PdfGen.syntheticPdf(id), StandardCharsets.ISO_8859_1)
+    assert(s(14L).contains("/Filter /LZWDecode"))
+    assert(s(15L).contains("/Filter /RunLengthDecode"))
+    assert(s(29L).contains("/Filter [/ASCII85Decode /FlateDecode]"))
+    for (id <- Seq(14L, 15L, 29L)) {
+      val doc = Pdf.parse(PdfGen.syntheticPdf(id))
+      assert(doc.text == PdfGen.expectedText(id) && doc.warnings.isEmpty, s"id=$id")
+    }
+  }
+
+  test("LZWDecode honors /DecodeParms: EarlyChange 0 and a PNG type-0 predictor") {
+    val content = "BT /F1 12 Tf 72 720 Td (lzw-parms) Tj ET"
+    val b0 = onePageFiltered(" /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+      PdfGen.lzwEncode(content.getBytes(StandardCharsets.ISO_8859_1), 0))
+    assert(Pdf.parse(b0).pages.head.text == "lzw-parms")
+    // predictor 10 = PNG per-row filter tags (type 0 = None), rows of 8
+    val padded = (content + " " * ((8 - content.length % 8) % 8))
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val rows = new java.io.ByteArrayOutputStream()
+    padded.grouped(8).foreach { row => rows.write(0); rows.write(row, 0, row.length) }
+    val b1 = onePageFiltered(
+      " /Filter /LZWDecode /DecodeParms << /Predictor 10 /Columns 8 >>",
+      PdfGen.lzwEncode(rows.toByteArray))
+    assert(Pdf.parse(b1).pages.head.text == "lzw-parms")
+  }
+
   // ------------------------------------------------------------------
   // poison inputs
 
