@@ -127,6 +127,41 @@ def corpus():
             s = foreign_snippet()
             for c in f_contexts:
                 cases.append((c, s))
+
+    # FRAG_DIFF_PROFILE=tables: table-soup snippets (form pointer, the
+    # <input type=hidden> exception, pending-table-character runs, nested
+    # tables, caption/colgroup, template rows, formatting across the table)
+    # concentrated on the TABLE-FAMILY contexts where the reset-insertion-
+    # mode machinery and foster parenting interact with fragment fabrication.
+    if os.environ.get('FRAG_DIFF_PROFILE') == 'tables':
+        t_contexts = ["td", "th", "tr", "tbody", "tfoot", "thead", "table",
+                      "caption", "colgroup", "template", "div", "form",
+                      "select", "body"]
+        t_bits = ["<td>x", "<th>y</th>", "<tr>", "</tr>", "</td>",
+                  "<tbody>", "</tbody>", "<tfoot>", "<thead>",
+                  "<caption>c</caption>", "</caption>", "<colgroup><col>",
+                  "<col span=2>", "</colgroup>", "<form>", "</form>",
+                  "<form><input>", "<input type=hidden>",
+                  "<input TYPE=HIDDEN>", "<input type='hidden '>",
+                  "<input>", "<style>s{}</style>", "<script>t</script>",
+                  "<template><tr><td>u</td></tr></template>",
+                  "loose", "   ", " \t\n", "&#65;", "<b>f</b>", "<b>",
+                  "<a href=1>l</a>", "<table>", "</table>",
+                  "<table><td>n</table>", "<div>fostered</div>",
+                  "<tr hidden=false>", "<td colspan=2>", "</tbody>x",
+                  "<select><option>o</select>", "<svg><desc>d</desc></svg>"]
+        def tables_snippet():
+            parts = []
+            for _ in range(rng.randint(3, 12)):
+                parts.append(rng.choice(t_bits))
+            s = "".join(parts)
+            if rng.random() < 0.35:
+                s = s[: rng.randint(1, len(s))]
+            return s
+        for _ in range(60):
+            s = tables_snippet()
+            for c in t_contexts:
+                cases.append((c, s))
     return cases
 
 

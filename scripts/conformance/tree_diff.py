@@ -296,6 +296,51 @@ def corpus():
             return case
         for _ in range(3000):
             cases.append(decl_case())
+
+    # TREE_DIFF_PROFILE=tables: table-algorithm storm — nested tables,
+    # caption/colgroup/col placement, the form-element-pointer special case,
+    # the <input type=hidden> in-table exception (exact-match, so a trailing
+    # space or different value DOES foster-parent), pending-table-character
+    # runs (whitespace-only stays, anything else fosters), formatting
+    # elements open across table boundaries (foster + AFE interplay),
+    # select-in-table, template-in-table, stray section/row end tags, and an
+    # EOF-truncation arm for the in-table end-location walks.
+    if os.environ.get('TREE_DIFF_PROFILE') == 'tables':
+        rng = random.Random(seed0 ^ 0x71AB1E5)
+        t_open = ["<table>", "<table><tbody>", "<table><tr>", "<TABLE>",
+                  "<table><caption>", "<table><colgroup>", "<div><table>",
+                  "<form><table>", "<b><table>", "<i><nobr><table>",
+                  "<table><template>", "<select><table>", "<table><select>",
+                  "<td><table>", "<table><tr><td><table>"]
+        t_bits = ["<td>x", "<th>y", "<tr>", "</tr>", "</td>", "</th>",
+                  "<tbody>", "</tbody>", "<tfoot>", "<thead>", "<TBODY>",
+                  "<caption>c</caption>", "<caption>", "</caption>",
+                  "<colgroup><col>", "<col>", "<col span=2>", "</colgroup>",
+                  "<form>", "<form a=1>", "</form>", "<form><input>",
+                  "<input type=hidden>", "<input TYPE=HIDDEN>",
+                  "<input type='hidden '>", "<input type=hiddenx>",
+                  "<input>", "<input type=text>",
+                  "<style>s{}</style>", "<script>t</script>",
+                  "<template><tr><td>u</td></tr></template>",
+                  "loose", "a b", "   ", " \t\n", "&#65;", "&nbsp;x",
+                  "<b>f</b>", "<b>", "</b>", "<a href=1>l</a>",
+                  "<table>", "</table>", "<svg><desc>d</desc></svg>",
+                  "<math><mi>m</mi></math>", "<div>fostered</div>",
+                  "<p>pp", "<li>item", "<button>bt</button>",
+                  "<tr hidden=false>", "<td colspan=2>"]
+        def tables_case():
+            parts = [rng.choice(t_open)]
+            for _ in range(rng.randint(4, 18)):
+                parts.append(rng.choice(t_bits))
+            if rng.random() < 0.6:
+                parts.append(rng.choice(["</table>", "</table></table>",
+                                         "</form></table>", ""]))
+            case = "".join(parts)
+            if rng.random() < 0.4:  # EOF mid-table arm
+                case = case[: rng.randint(1, len(case))]
+            return case
+        for _ in range(3000):
+            cases.append(tables_case())
     return cases
 
 

@@ -2538,6 +2538,12 @@ final class TreeBuilder(
     // content parses under foreign-content rules via adjustedCurrentNode
     if (contextTagName == "svg") fragmentContext.namespace = Ns.Svg
     else if (contextTagName == "math") fragmentContext.namespace = Ns.MathMl
+    // spec 13.4 step 12 / parse5 _findFormInFragmentContext (parser/
+    // index.js:283-291): the form element pointer seeds from the nearest
+    // form on the context's ancestor chain — for a fabricated context the
+    // chain is just the context itself. With the pointer set, <form> start
+    // tags outside templates are IGNORED (formStartTagInBody:1778).
+    if (contextTagName == "form") formElement = fragmentContext
     tokenizer = new Tokenizer(input, this)
     contextTagName match {
       case "title" | "textarea" =>
