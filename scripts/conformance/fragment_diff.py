@@ -162,6 +162,53 @@ def corpus():
             s = tables_snippet()
             for c in t_contexts:
                 cases.append((c, s))
+
+    # FRAG_DIFF_PROFILE=afe: active-formatting-elements storm in fragment
+    # contexts — the context element fabricates the open-element stack, so
+    # adoption-agency scope walks, Noah's ark (exact tag+attr repeats), and
+    # reconstruction all run against a fabricated root. Formatting-element
+    # CONTEXTS (b/a/nobr/font) are included: parse5 does NOT seed the AFE
+    # list from the context, which is exactly the behavior to pin.
+    if os.environ.get('FRAG_DIFF_PROFILE') == 'afe':
+        a_contexts = ["div", "b", "a", "nobr", "font", "td", "table",
+                      "caption", "p", "button", "object", "marquee",
+                      "template", "body"]
+        fmt = ["a", "b", "i", "em", "strong", "small", "s", "tt", "u",
+               "code", "font", "nobr"]
+        def afe_snippet():
+            parts = []
+            for _ in range(rng.randint(4, 16)):
+                r = rng.random()
+                if r < 0.32:
+                    t = rng.choice(fmt)
+                    a = rng.choice(["", "", " x=1", " x=2"])
+                    parts.append(f"<{t}{a}>")
+                elif r < 0.40:
+                    t = rng.choice(fmt)
+                    parts.append(f"<{t}>" * rng.randint(3, 5))
+                elif r < 0.60:
+                    parts.append(f"</{rng.choice(fmt)}>")
+                elif r < 0.72:
+                    parts.append(rng.choice(["<marquee>", "<object>",
+                                             "<button>", "<div>", "<p>",
+                                             "<table>", "<td>", "<template>"]))
+                elif r < 0.82:
+                    parts.append(rng.choice(["</marquee>", "</object>",
+                                             "</button>", "</div>", "</p>",
+                                             "</table>", "</td>",
+                                             "</template>"]))
+                else:
+                    parts.append(rng.choice(["x", " ", "<br>", "&amp;",
+                                             "<a><a>", "</a></a>",
+                                             "<table><b><tr>"]))
+            s = "".join(parts)
+            if rng.random() < 0.25:
+                s = s[: rng.randint(1, len(s))]
+            return s
+        for _ in range(60):
+            s = afe_snippet()
+            for c in a_contexts:
+                cases.append((c, s))
     return cases
 
 

@@ -341,6 +341,106 @@ def corpus():
             return case
         for _ in range(3000):
             cases.append(tables_case())
+
+    # TREE_DIFF_PROFILE=headframes: document-boundary storm — the before-
+    # html / before-head / in-head / in-head-noscript / after-head modes,
+    # head metadata elements, <body>/<html> attribute MERGING on repeated
+    # tags, the frameset-ok flag (whitespace keeps it, text/br/most starts
+    # clear it), frameset replacing body, <noframes> rawtext, frame rows,
+    # after-body / after-after-body re-entry, and EOF truncation.
+    if os.environ.get('TREE_DIFF_PROFILE') == 'headframes':
+        rng = random.Random(seed0 ^ 0x6A09E667)
+        hf_prologue = ["", "", "<!doctype html>", "<!DOCTYPE HTML>",
+                       "<!-- lead -->", "   \n\t", "early text",
+                       "<!doctype html><!-- c -->", "</head>", "</body>",
+                       "</html>", "</br>", "<html a=0>", "<head>"]
+        hf_head = ["<meta charset=utf-8>", "<meta>", "<META X=1>",
+                   "<base href=u>", "<base>", "<basefont>", "<bgsound>",
+                   "<link rel=r>", "<title>t</title>", "<title>unclosed",
+                   "<title>a<b>c</title>", "<style>s{}</style>",
+                   "<style>open", "<script>j()</script>", "<script>open",
+                   "<noscript><link></noscript>", "<noscript><p>n</noscript>",
+                   "<noscript>", "</noscript>", "<template><td>tc</template>",
+                   "<head>", "</head>", "<object>", " \n", "stray head text"]
+        hf_bodyhtml = ["<body a=1>", "<body a=2 b=3>", "<BODY B=9 C=4>",
+                       "<body>", "<html c=5>", "<HTML C=6 D=7>", "</body>",
+                       "</html>", "<body hidden>"]
+        hf_frames = ["<frameset>", "<frameset cols='1,*'>", "<FRAMESET>",
+                     "<frame src=x>", "<frame>", "</frameset>",
+                     "<noframes>raw <b>kept</noframes>", "<noframes>open",
+                     "</frame>", "</noframes>"]
+        hf_body = ["   ", " \t\n", "text", "<br>", "<b>f</b>", "<div>d</div>",
+                   "<p>p", "<img>", "<input type=hidden>", "<wbr>",
+                   "<pre>\nx</pre>", "&#x20;", "&nbsp;", "<table><td>t</table>"]
+        hf_tail = ["<!-- after -->", "   ", "late text", "<div>late</div>",
+                   "</html>", "</body>", "<!doctype html>", "<b>", "</b>"]
+        def headframes_case():
+            parts = [rng.choice(hf_prologue)]
+            for _ in range(rng.randint(2, 7)):
+                parts.append(rng.choice(hf_head))
+            for _ in range(rng.randint(0, 3)):
+                parts.append(rng.choice(hf_bodyhtml))
+            pools = [hf_frames, hf_body, hf_bodyhtml, hf_tail]
+            for _ in range(rng.randint(3, 12)):
+                parts.append(rng.choice(rng.choice(pools)))
+            case = "".join(parts)
+            if rng.random() < 0.4:
+                case = case[: rng.randint(1, len(case))]
+            return case
+        for _ in range(3000):
+            cases.append(headframes_case())
+
+    # TREE_DIFF_PROFILE=afe: active-formatting-elements storm — deep
+    # formatting misnesting driving the adoption agency's 8x3 loops, Noah's
+    # ark (needs EXACT tag+attr repeats, so attr variety is deliberately
+    # tiny), reconstruction across blocks, <a>-implies-</a>, <nobr> scope,
+    # marquee/object/applet/template/td/caption scope barriers, and the
+    # foster-parenting + AFE interplay across table boundaries.
+    if os.environ.get('TREE_DIFF_PROFILE') == 'afe':
+        rng = random.Random(seed0 ^ 0xBB67AE85)
+        fmt = ["a", "b", "i", "em", "strong", "small", "s", "strike", "tt",
+               "u", "code", "font", "nobr"]
+        barrier_open = ["<marquee>", "<object>", "<applet>", "<template>",
+                        "<button>", "<div>", "<p>", "<address>", "<li>",
+                        "<table>", "<table><td>", "<caption>", "<h2>",
+                        "<span>"]
+        barrier_close = ["</marquee>", "</object>", "</applet>",
+                         "</template>", "</button>", "</div>", "</p>",
+                         "</address>", "</li>", "</table>", "</td>",
+                         "</caption>", "</h2>", "</span>"]
+        def afe_case():
+            parts = []
+            for _ in range(rng.randint(8, 34)):
+                r = rng.random()
+                if r < 0.34:
+                    t = rng.choice(fmt)
+                    # tiny attr variety so exact duplicates (Noah's ark) occur
+                    a = rng.choice(["", "", "", " x=1", " x=2", " id=k"])
+                    parts.append(f"<{t}{a}>")
+                elif r < 0.42:
+                    # burst of identical opens: trips Noah's ark directly
+                    t = rng.choice(fmt)
+                    a = rng.choice(["", " x=1"])
+                    parts.append(f"<{t}{a}>" * rng.randint(3, 6))
+                elif r < 0.62:
+                    parts.append(f"</{rng.choice(fmt)}>")
+                elif r < 0.74:
+                    parts.append(rng.choice(barrier_open))
+                elif r < 0.84:
+                    parts.append(rng.choice(barrier_close))
+                elif r < 0.94:
+                    parts.append(rng.choice(["x", "y z", " ", "&amp;", "<br>",
+                                             "t1", "<img>"]))
+                else:
+                    parts.append(rng.choice(["<b><i>", "</b></i>", "<a><a>",
+                                             "</a></a>", "<nobr><nobr>",
+                                             "<table><b><tr>", "</table>"]))
+            case = "".join(parts)
+            if rng.random() < 0.25:
+                case = case[: rng.randint(1, len(case))]
+            return case
+        for _ in range(3000):
+            cases.append(afe_case())
     return cases
 
 

@@ -664,11 +664,11 @@ final class TreeBuilder(
   // ------------------------------------------------------------------
   // adoption agency (spec §13.2.6.4.7 "in body" A/B... formatting end tags)
   private def adoptionAgency(subject: String): Unit = {
-    if (stack.nonEmpty && current.namespace == Ns.Html && current.tagName == subject &&
-      afeIndexOf(current) < 0) {
-      pop()
-      return
-    }
+    // NOTE: the reference implements NO spec-step-1 shortcut ("current node
+    // is subject and not in AFE -> pop and return"): callAdoptionAgency
+    // (parser/index.js:1344) goes straight to the AFE-entry lookup, so a
+    // </i> whose AFE entries were all evicted (Noah's ark) removes the LAST
+    // AFE <i> entry without touching the open stack (divergence #18).
     var outer = 0
     while (outer < 8) {
       outer += 1
@@ -676,7 +676,11 @@ final class TreeBuilder(
       if (entry == null) { anyOtherEndTagInBody(subject); return }
       val fmtEl = entry.element
       if (!onStack(fmtEl)) { afeRemove(fmtEl); return }
-      if (!hasElementInScope(fmtEl)) return
+      // parse5's scope check is TAG-based (openElements.hasInScope(token
+      // .tagID), parser/index.js:1252), not element-identity-based: if any
+      // same-tag HTML element is in scope the algorithm proceeds with the
+      // AFE entry even when that specific element is out of scope.
+      if (!hasInScope(subject)) return
       val fmtIdx = stack.indexWhere(_ eq fmtEl)
       // furthest block: first special element below the formatting element
       var fbIdx = -1
