@@ -44,8 +44,11 @@ for seed in 0x4EED5EED 0x5EED900D; do
   run "tree-foreign-$seed" env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=foreign python3 scripts/conformance/tree_diff.py
   run "tree-decl-$seed"    env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=decl python3 scripts/conformance/tree_diff.py
   run "tree-tables-$seed"  env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=tables python3 scripts/conformance/tree_diff.py
+  run "tree-afe-$seed"     env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=afe python3 scripts/conformance/tree_diff.py
+  run "tree-headframes-$seed" env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=headframes python3 scripts/conformance/tree_diff.py
   run "frag-foreign-$seed" env FRAG_DIFF_SEED=$seed FRAG_DIFF_PROFILE=foreign python3 scripts/conformance/fragment_diff.py
   run "frag-tables-$seed"  env FRAG_DIFF_SEED=$seed FRAG_DIFF_PROFILE=tables python3 scripts/conformance/fragment_diff.py
+  run "frag-afe-$seed"     env FRAG_DIFF_SEED=$seed FRAG_DIFF_PROFILE=afe python3 scripts/conformance/fragment_diff.py
   run "extract-unicode-$seed" env EXTRACT_DIFF_SEED=$seed EXTRACT_DIFF_PROFILE=unicode python3 scripts/conformance/extract_diff.py
 done
 
