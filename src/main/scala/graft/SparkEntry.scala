@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.ops.{Dedup, Multimodal, PdfGen, PdfOps, Similarity, TextStats}
+import graft.ops.{Audio, Dedup, Multimodal, PdfGen, PdfOps, Similarity, TextStats}
 import graft.pipeline.{ConvDigest, Extraction, TranscriptTurn, Transcripts}
 
 /** Driver contract — one `queries` entry per implemented operator family
@@ -687,6 +687,35 @@ object SparkEntry {
           col("pixel_sum"))
     }),
 
+    // ---- multimodal audio: REAL RIFF/WAVE PCM decode over deterministic
+    // WAVs (Audio.syntheticWav: closed-form samples; odd ids add a junk
+    // LIST chunk so the RIFF pad-byte walk is on the oracle path). doc_id
+    // % 7 == 0 rows carry raw text bytes to exercise the stub fallback.
+    // The oracle restates channels/rate/bits/frames/duration AND the exact
+    // PCM sample sum from the generator formulas alone.
+    "q_audio" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload =
+            if (id % 7L == 0L) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else Audio.syntheticWav(id)
+          (id, payload)
+        }
+        .toDF("doc_id", "payload")
+      Audio.decode(media).toDF()
+        .select(col("doc_id"),
+          col("meta.channels").cast("long").as("channels"),
+          col("meta.sampleRate").cast("long").as("sample_rate"),
+          col("meta.bits").cast("long").as("bits"),
+          col("meta.nFrames").as("n_frames"),
+          col("meta.format").as("format"),
+          col("duration_us"),
+          col("sample_sum"))
+    }),
+
     // ---- PDF leg of the main-content pipeline: from-scratch PDF parse
     // (classic xref tables AND 1.5+ xref streams + object streams, Flate
     // with predictors, content-stream text interpreter with layout
@@ -1130,6 +1159,37 @@ object SparkEntry {
         "CAST(16 + (ascii(substring(text, 2, 1)) % 64) * 16 AS BIGINT) AS height, " +
         "CAST(3 AS BIGINT) AS channels, 'stub' AS format, " +
         "CAST(-1 AS BIGINT) AS pixel_sum " +
+        "FROM documents WHERE doc_id % 7 = 0"),
+
+    // Closed-form replay of Audio.syntheticWav: channel count, bit depth,
+    // frame count, exact duration and the exact PCM sample sum are restated
+    // from the generator formulas (PCM is lossless); stub rows replay
+    // Audio.decodeStub over the raw text bytes.
+    "q_audio" ->
+      ("WITH wav AS (" +
+        "SELECT doc_id, 1 + doc_id % 2 AS c, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits, " +
+        "16 + doc_id % 97 AS n, doc_id % 256 AS idm " +
+        "FROM documents WHERE doc_id % 7 <> 0), " +
+        "sums AS (" +
+        "SELECT w.doc_id, CAST(SUM(CASE WHEN w.bits = 8 " +
+        "THEN (5*gi.i + 9*gc.ch + w.idm) % 256 " +
+        "ELSE ((7*gi.i + 11*gc.ch + w.idm) % 4096) - 2048 END) AS BIGINT) AS sample_sum " +
+        "FROM wav w, generate_series(0, 111) AS gi(i), " +
+        "generate_series(0, 1) AS gc(ch) " +
+        "WHERE gi.i < w.n AND gc.ch < w.c " +
+        "GROUP BY w.doc_id) " +
+        "SELECT w.doc_id, CAST(w.c AS BIGINT) AS channels, " +
+        "CAST(8000 AS BIGINT) AS sample_rate, CAST(w.bits AS BIGINT) AS bits, " +
+        "CAST(w.n AS BIGINT) AS n_frames, 'wav' AS format, " +
+        "CAST(w.n * 125 AS BIGINT) AS duration_us, s.sample_sum " +
+        "FROM wav w JOIN sums s USING (doc_id) " +
+        "UNION ALL " +
+        "SELECT doc_id, CAST(1 + (ascii(substring(text, 1, 1)) % 2) AS BIGINT) AS channels, " +
+        "CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits, " +
+        "CAST(length(text) AS BIGINT) AS n_frames, 'stub' AS format, " +
+        "CAST(length(text) * 125 AS BIGINT) AS duration_us, " +
+        "CAST(-1 AS BIGINT) AS sample_sum " +
         "FROM documents WHERE doc_id % 7 = 0"),
 
     // Closed-form replay of PdfGen.syntheticPdf: page count and the FULL

@@ -111,6 +111,15 @@ object Smoke {
     }
     try graft.ops.Pdf.parse("not a pdf at all".getBytes)
     catch { case e: graft.ops.PdfParseException => println("poison payload -> " + e.getMessage) }
+    println("=== audio decode (RIFF/WAVE PCM) ===")
+    for (id <- Seq(2L, 3L)) { // 2 = 16-bit mono, 3 = 8-bit stereo + junk LIST
+      val d = graft.ops.Audio.decodeOne(id, graft.ops.Audio.syntheticWav(id))
+      println(s"id=$id fmt=${d.meta.format} c=${d.meta.channels} " +
+        s"bits=${d.meta.bits} frames=${d.meta.nFrames} us=${d.duration_us} " +
+        s"sum=${d.sample_sum} feat=${d.feature.length}")
+    }
+    println("non-wav payload -> " +
+      graft.ops.Audio.decodeOne(0L, "just text".getBytes).meta.format)
     println("DONE")
 
   }

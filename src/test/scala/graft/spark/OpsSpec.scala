@@ -347,4 +347,105 @@ class OpsSpec extends AnyFunSuite {
     assert(d.meta.format == "png" && d.meta.width == 8192 && d.meta.height == 4096)
     assert(d.pixel_sum == -1L && d.feature.isEmpty)
   }
+
+  /** Closed-form replay of the syntheticWav generator (mirrors the DuckDB
+    * oracle in SparkEntry.oracleSql("q_audio")).
+    */
+  private def expectedWav(id: Long): (Int, Int, Int, Long) = {
+    val c = (1L + id % 2L).toInt
+    val bits = if (id % 3L == 0L) 8 else 16
+    val n = (16L + id % 97L).toInt
+    val idm = (id % 256L).toInt
+    var sum = 0L
+    for (i <- 0 until n; ch <- 0 until c) {
+      if (bits == 8) sum += (5 * i + 9 * ch + idm) % 256
+      else sum += ((7 * i + 11 * ch + idm) % 4096) - 2048
+    }
+    (c, bits, n, sum)
+  }
+
+  test("audio real decode: WAV channels/bits/frames/duration/sample-sum match closed form") {
+    import spark.implicits._
+    // ids cover mono/stereo x 8/16-bit x junk-LIST-chunk (odd id) x
+    // odd-length data pad (id 102: even, 8-bit mono, n = 21 frames... n is
+    // 16 + id % 97, so 102 -> 21 odd -> pad byte on the wire)
+    val ids = (1L to 24L) ++ Seq(96L, 97L, 102L, 255L, 1000L, 12345L)
+    val media = ids.map(id => (id, Audio.syntheticWav(id))).toDF("doc_id", "payload")
+    val out = Audio.decode(media).collect().map(d => d.doc_id -> d).toMap
+    ids.foreach { id =>
+      val (c, bits, n, sum) = expectedWav(id)
+      val d = out(id)
+      assert(d.meta.format == "wav", s"doc $id format")
+      assert(d.meta.channels == c && d.meta.bits == bits, s"doc $id shape")
+      assert(d.meta.sampleRate == 8000 && d.meta.nFrames == n.toLong, s"doc $id frames")
+      assert(d.duration_us == n.toLong * 125L, s"doc $id duration")
+      assert(d.sample_sum == sum, s"doc $id sample_sum ${d.sample_sum} != $sum")
+      assert(d.feature.length == 8 && d.feature.forall(f => f >= 0f && f <= 1f),
+        s"doc $id feature")
+    }
+  }
+
+  test("audio stub fallback: non-RIFF, truncated, and non-PCM payloads degrade") {
+    import spark.implicits._
+    // float PCM (format tag 3) must NOT be decoded as integer PCM
+    val floatWav = {
+      val good = Audio.syntheticWav(2L)
+      val idx = good.indexOfSlice("fmt ".getBytes("US-ASCII"))
+      good.updated(idx + 8, 3.toByte)
+    }
+    val media = Seq(
+      (1L, "plain text payload".getBytes("UTF-8")),
+      (2L, Array.empty[Byte]),
+      (3L, Audio.syntheticWav(5L).take(20)), // truncated inside fmt
+      (4L, floatWav)
+    ).toDF("doc_id", "payload")
+    val out = Audio.decode(media).collect().sortBy(_.doc_id)
+    out.foreach { d =>
+      assert(d.meta.format == "stub", s"doc ${d.doc_id} must degrade")
+      assert(d.sample_sum == -1L && d.feature.isEmpty, s"doc ${d.doc_id} stub shape")
+    }
+    assert(out(0).meta.nFrames == 18L) // stub nFrames = byte length
+    // determinism
+    val again = Audio.decode(media).collect().sortBy(_.doc_id)
+    assert(out.map(_.meta).toSeq == again.map(_.meta).toSeq)
+  }
+
+  test("audio 16-bit signed decode: constant negative signal sums and features exactly") {
+    // hand-built mono 16-bit WAV: 40 frames of -1000
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    def t4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    t4("RIFF"); w32(4 + 24 + 8 + 80); t4("WAVE")
+    t4("fmt "); w32(16); w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+    t4("data"); w32(80)
+    (0 until 40).foreach(_ => w16(-1000 & 0xffff))
+    val d = Audio.decodeOne(9L, bos.toByteArray)
+    assert(d.meta.format == "wav" && d.meta.nFrames == 40L)
+    assert(d.sample_sum == -40000L)
+    // constant |s| = 1000 -> every bucket = 1000/32768
+    val expected = 1000f / 32768f
+    assert(d.feature.forall(f => math.abs(f - expected) < 1e-6f), d.feature.mkString(","))
+  }
+
+  test("audio data chunk before fmt still decodes (robust chunk walk)") {
+    val ref = Audio.decodeOne(4L, Audio.syntheticWav(4L))
+    // rebuild id=4's wav with data first, then fmt
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    def t4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val c = 1; val bits = 16; val n = 20; val idm = 4
+    val pcm = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until n; ch <- 0 until c) {
+      val s = ((7 * i + 11 * ch + idm) % 4096) - 2048
+      pcm.write(s & 0xff); pcm.write((s >> 8) & 0xff)
+    }
+    t4("RIFF"); w32(4 + 8 + pcm.size + 24); t4("WAVE")
+    t4("data"); w32(pcm.size); bos.write(pcm.toByteArray)
+    t4("fmt "); w32(16); w16(1); w16(c); w32(8000); w32(8000 * c * 2); w16(c * 2); w16(bits)
+    val d = Audio.decodeOne(4L, bos.toByteArray)
+    assert(d.meta.format == "wav" && d.meta.channels == ref.meta.channels)
+    assert(d.meta.nFrames == ref.meta.nFrames && d.sample_sum == ref.sample_sum)
+  }
 }
