@@ -687,12 +687,14 @@ object SparkEntry {
           col("pixel_sum"))
     }),
 
-    // ---- multimodal audio: REAL RIFF/WAVE PCM decode over deterministic
-    // WAVs (Audio.syntheticWav: closed-form samples; odd ids add a junk
-    // LIST chunk so the RIFF pad-byte walk is on the oracle path). doc_id
-    // % 7 == 0 rows carry raw text bytes to exercise the stub fallback.
-    // The oracle restates channels/rate/bits/frames/duration AND the exact
-    // PCM sample sum from the generator formulas alone.
+    // ---- multimodal audio: REAL RIFF/WAVE decode over deterministic WAVs.
+    // Three arms by doc_id: % 7 == 0 rows carry raw text bytes (stub
+    // fallback); % 5 == 0 rows carry Audio.syntheticFloatWav (IEEE-float
+    // format 3, dyadic samples so the scaled sample sum is exact); the rest
+    // carry Audio.syntheticWav (integer PCM; odd ids add a junk LIST chunk
+    // so the RIFF pad-byte walk is on the oracle path). The oracle restates
+    // channels/rate/bits/frames/duration AND the exact sample sum from the
+    // generator formulas alone.
     "q_audio" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir)
@@ -701,6 +703,7 @@ object SparkEntry {
         .map { case (id, text) =>
           val payload =
             if (id % 7L == 0L) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else if (id % 5L == 0L) Audio.syntheticFloatWav(id)
             else Audio.syntheticWav(id)
           (id, payload)
         }
@@ -780,6 +783,30 @@ object SparkEntry {
   /** Reinterpret an unsigned 64-bit HUGEINT value as a signed BIGINT. */
   private def toSignedSql(u: String): String =
     s"CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT THEN $u - $TwoPow64 ELSE $u END AS BIGINT)"
+
+  // UTF-8 byte replay over DuckDB's codepoint functions: the stub decoders
+  // (Audio.decodeStub / Multimodal.decodeStub) read raw UTF-8 BYTES (first
+  // byte, second byte, byte length) of the document text, while DuckDB's
+  // ascii()/length() are CODEPOINT functions — so the oracle derives the
+  // bytes from codepoints in closed form. Exact for ANY Unicode text, not
+  // just an ASCII corpus (byte length = strlen(text) in DuckDB).
+  private def utf8LeadByteSql(cp: String): String =
+    s"(CASE WHEN $cp < 128 THEN $cp WHEN $cp < 2048 THEN 192 + $cp // 64 " +
+      s"WHEN $cp < 65536 THEN 224 + $cp // 4096 ELSE 240 + $cp // 262144 END)"
+
+  /** First UTF-8 byte of `text` (0 when empty). */
+  private lazy val utf8Byte0Sql: String = utf8LeadByteSql("ascii(text)")
+
+  /** Second UTF-8 byte of `text` (0 when fewer than 2 bytes): either the
+    * first continuation byte of a multi-byte first character, or the
+    * leading byte of the second character.
+    */
+  private lazy val utf8Byte1Sql: String =
+    "(CASE WHEN strlen(text) < 2 THEN 0 " +
+      "WHEN ascii(text) >= 65536 THEN 128 + (ascii(text) // 4096) % 64 " +
+      "WHEN ascii(text) >= 2048 THEN 128 + (ascii(text) // 64) % 64 " +
+      "WHEN ascii(text) >= 128 THEN 128 + ascii(text) % 64 " +
+      s"ELSE ${utf8LeadByteSql("ascii(substring(text, 2, 1))")} END)"
 
   /** Exact HUGEINT replay of [[Extraction.rowDigest]]: FNV-1a 64 folding
     * conv_id chars, a 0x1f separator mix, turn_idx, text chars, separator —
@@ -1154,23 +1181,29 @@ object SparkEntry {
         "'png' AS format, s.pixel_sum " +
         "FROM png p JOIN sums s USING (doc_id) " +
         "UNION ALL " +
+        // decodeStub reads the first two UTF-8 BYTES — replayed byte-
+        // faithfully from codepoints, valid for any Unicode corpus
         "SELECT doc_id, " +
-        "CAST(16 + (ascii(substring(text, 1, 1)) % 64) * 16 AS BIGINT) AS width, " +
-        "CAST(16 + (ascii(substring(text, 2, 1)) % 64) * 16 AS BIGINT) AS height, " +
+        s"CAST(16 + ($utf8Byte0Sql % 64) * 16 AS BIGINT) AS width, " +
+        s"CAST(16 + ($utf8Byte1Sql % 64) * 16 AS BIGINT) AS height, " +
         "CAST(3 AS BIGINT) AS channels, 'stub' AS format, " +
         "CAST(-1 AS BIGINT) AS pixel_sum " +
         "FROM documents WHERE doc_id % 7 = 0"),
 
-    // Closed-form replay of Audio.syntheticWav: channel count, bit depth,
-    // frame count, exact duration and the exact PCM sample sum are restated
-    // from the generator formulas (PCM is lossless); stub rows replay
-    // Audio.decodeStub over the raw text bytes.
+    // Closed-form replay of Audio.syntheticWav / syntheticFloatWav: channel
+    // count, bit depth, frame count, exact duration and the exact sample
+    // sum are restated from the generator formulas (PCM is lossless; the
+    // float samples are dyadic multiples of 1/256, so round(sample*256)
+    // recovers the integer numerator exactly). Stub rows replay
+    // Audio.decodeStub over the raw UTF-8 text BYTES (first byte and byte
+    // length via the utf8Byte0Sql/strlen replay — exact for any Unicode
+    // corpus, not just ASCII).
     "q_audio" ->
       ("WITH wav AS (" +
         "SELECT doc_id, 1 + doc_id % 2 AS c, " +
         "CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits, " +
         "16 + doc_id % 97 AS n, doc_id % 256 AS idm " +
-        "FROM documents WHERE doc_id % 7 <> 0), " +
+        "FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0), " +
         "sums AS (" +
         "SELECT w.doc_id, CAST(SUM(CASE WHEN w.bits = 8 " +
         "THEN (5*gi.i + 9*gc.ch + w.idm) % 256 " +
@@ -1178,17 +1211,33 @@ object SparkEntry {
         "FROM wav w, generate_series(0, 111) AS gi(i), " +
         "generate_series(0, 1) AS gc(ch) " +
         "WHERE gi.i < w.n AND gc.ch < w.c " +
-        "GROUP BY w.doc_id) " +
+        "GROUP BY w.doc_id), " +
+        "fwav AS (" +
+        "SELECT doc_id, 1 + doc_id % 2 AS c, 16 + doc_id % 97 AS n, " +
+        "doc_id % 256 AS idm " +
+        "FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0), " +
+        "fsums AS (" +
+        "SELECT f.doc_id, CAST(SUM(((13*gi.i + 17*gc.ch + f.idm) % 4096) - 2048) AS BIGINT) AS sample_sum " +
+        "FROM fwav f, generate_series(0, 111) AS gi(i), " +
+        "generate_series(0, 1) AS gc(ch) " +
+        "WHERE gi.i < f.n AND gc.ch < f.c " +
+        "GROUP BY f.doc_id) " +
         "SELECT w.doc_id, CAST(w.c AS BIGINT) AS channels, " +
         "CAST(8000 AS BIGINT) AS sample_rate, CAST(w.bits AS BIGINT) AS bits, " +
         "CAST(w.n AS BIGINT) AS n_frames, 'wav' AS format, " +
         "CAST(w.n * 125 AS BIGINT) AS duration_us, s.sample_sum " +
         "FROM wav w JOIN sums s USING (doc_id) " +
         "UNION ALL " +
-        "SELECT doc_id, CAST(1 + (ascii(substring(text, 1, 1)) % 2) AS BIGINT) AS channels, " +
+        "SELECT f.doc_id, CAST(f.c AS BIGINT) AS channels, " +
+        "CAST(8000 AS BIGINT) AS sample_rate, CAST(32 AS BIGINT) AS bits, " +
+        "CAST(f.n AS BIGINT) AS n_frames, 'wavf' AS format, " +
+        "CAST(f.n * 125 AS BIGINT) AS duration_us, fs.sample_sum " +
+        "FROM fwav f JOIN fsums fs USING (doc_id) " +
+        "UNION ALL " +
+        s"SELECT doc_id, CAST(1 + $utf8Byte0Sql % 2 AS BIGINT) AS channels, " +
         "CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits, " +
-        "CAST(length(text) AS BIGINT) AS n_frames, 'stub' AS format, " +
-        "CAST(length(text) * 125 AS BIGINT) AS duration_us, " +
+        "CAST(strlen(text) AS BIGINT) AS n_frames, 'stub' AS format, " +
+        "CAST(strlen(text) * 125 AS BIGINT) AS duration_us, " +
         "CAST(-1 AS BIGINT) AS sample_sum " +
         "FROM documents WHERE doc_id % 7 = 0"),
 

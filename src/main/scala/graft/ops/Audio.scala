@@ -66,31 +66,40 @@ object Audio {
   def parseWav(bytes: Array[Byte]): Option[(AudioMeta, Int, Long)] = {
     if (bytes == null || bytes.length < 44) return None
     if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
-    var off = 12
+    // the chunk cursor is a Long: a declared u32 chunk size near 2^32 must
+    // not wrap an Int offset into negative territory (that was a crash —
+    // tag() at a negative index — on adversarial payloads)
+    var off = 12L
     var meta: AudioMeta = null
     var dataOff = -1
     var dataLen = -1L
     while (off + 8 <= bytes.length && (meta == null || dataOff < 0)) {
-      val ck = tag(bytes, off)
-      val sz = u32(bytes, off + 4)
+      val iOff = off.toInt // safe: off + 8 <= bytes.length <= Int.MaxValue
+      val ck = tag(bytes, iOff)
+      val sz = u32(bytes, iOff + 4)
       val body = off + 8
       if (ck == "fmt " && sz >= 16 && body + 16 <= bytes.length) {
-        val audioFormat = u16(bytes, body)
-        val channels = u16(bytes, body + 2)
-        val rate = u32(bytes, body + 4)
-        val bits = u16(bytes, body + 14)
-        // 0xFFFE = WAVE_FORMAT_EXTENSIBLE; its first SubFormat word is the
-        // real tag but integer PCM is all this leg claims — anything else
-        // degrades to the stub.
-        if (audioFormat != 1 || (bits != 8 && bits != 16) ||
+        val audioFormat = u16(bytes, iOff + 8)
+        val channels = u16(bytes, iOff + 10)
+        val rate = u32(bytes, iOff + 12)
+        val bits = u16(bytes, iOff + 22)
+        // tag 1 = integer PCM (8/16-bit), tag 3 = IEEE float (32-bit) —
+        // the two layouts crawled WAVs actually carry. 0xFFFE
+        // (WAVE_FORMAT_EXTENSIBLE) and everything else degrades to the
+        // stub rather than guessing a sample layout.
+        val okPcm = audioFormat == 1 && (bits == 8 || bits == 16)
+        val okFloat = audioFormat == 3 && bits == 32
+        if ((!okPcm && !okFloat) ||
           channels < 1 || channels > 8 || rate < 1 || rate > 1000000) return None
-        meta = AudioMeta(channels, rate.toInt, bits, 0L, "wav")
+        meta = AudioMeta(channels, rate.toInt, bits, 0L,
+          if (okFloat) "wavf" else "wav")
       } else if (ck == "data") {
-        dataOff = body
-        dataLen = math.min(sz, (bytes.length - body).toLong)
+        dataOff = body.toInt
+        dataLen = math.min(sz, bytes.length - body)
       }
-      off = body + sz.toInt + (sz.toInt & 1)
-      if (sz > Int.MaxValue - 16) return None
+      // always advances by >= 8 (header), and a bomb-size sz just pushes
+      // the Long cursor past bytes.length, ending the walk cleanly
+      off = body + sz + (sz & 1L)
     }
     if (meta == null || dataOff < 0) return None
     val bytesPerFrame = meta.channels * (meta.bits / 8)
@@ -98,10 +107,20 @@ object Audio {
     Some((meta.copy(nFrames = nFrames), dataOff, nFrames))
   }
 
-  /** Exact sum of every PCM sample across all channels: 8-bit WAV samples
-    * are unsigned (0..255), 16-bit are signed little-endian. The audio
-    * analogue of [[Multimodal.pixelSum]] — closed-form for the synthetic
-    * corpus, so a SQL oracle can restate it without touching the bytes.
+  /** Little-endian IEEE-754 float32 sample at byte offset `off`. */
+  private def f32(b: Array[Byte], off: Int): Float =
+    java.lang.Float.intBitsToFloat(
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24))
+
+  /** Exact sum of every sample across all channels: 8-bit WAV samples are
+    * unsigned (0..255), 16-bit are signed little-endian, and 32-bit IEEE
+    * float samples (format tag 3) contribute `round(sample * 256)` — a
+    * fixed-point scaling that is EXACT whenever the samples are dyadic
+    * multiples of 1/256, which the synthetic generator guarantees. The
+    * audio analogue of [[Multimodal.pixelSum]] — closed-form for the
+    * synthetic corpus, so a SQL oracle can restate it without touching the
+    * bytes.
     */
   def sampleSum(bytes: Array[Byte], meta: AudioMeta, dataOff: Int): Long = {
     val n = meta.nFrames * meta.channels
@@ -109,10 +128,16 @@ object Audio {
     var i = 0L
     if (meta.bits == 8) {
       while (i < n) { sum += bytes(dataOff + i.toInt) & 0xff; i += 1 }
-    } else {
+    } else if (meta.bits == 16) {
       while (i < n) {
         val off = dataOff + (i * 2).toInt
         sum += (((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort).toLong
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val s = f32(bytes, dataOff + (i * 4).toInt).toDouble
+        if (java.lang.Double.isFinite(s)) sum += math.round(s * 256.0)
         i += 1
       }
     }
@@ -129,20 +154,26 @@ object Audio {
     if (frames == 0L) return Array.fill(buckets)(0f)
     val sums = new Array[Double](buckets)
     val counts = new Array[Long](buckets)
-    val full = if (meta.bits == 8) 128.0 else 32768.0
+    val full = meta.bits match {
+      case 8 => 128.0
+      case 16 => 32768.0
+      case _ => 1.0 // float samples are already in [-1, 1]
+    }
     var i = 0L
     while (i < frames) {
       val b = math.min(buckets - 1, (i * buckets / frames).toInt)
       var ch = 0
       var acc = 0.0
       while (ch < meta.channels) {
-        val s =
-          if (meta.bits == 8) (bytes(dataOff + (i * meta.channels + ch).toInt) & 0xff) - 128
-          else {
+        val s: Double = meta.bits match {
+          case 8 => ((bytes(dataOff + (i * meta.channels + ch).toInt) & 0xff) - 128).toDouble
+          case 16 =>
             val off = dataOff + ((i * meta.channels + ch) * 2).toInt
-            ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toInt
-          }
-        acc += math.abs(s.toDouble)
+            ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toDouble
+          case _ =>
+            f32(bytes, dataOff + ((i * meta.channels + ch) * 4).toInt).toDouble
+        }
+        acc += math.abs(s)
         ch += 1
       }
       sums(b) += acc / meta.channels
@@ -160,12 +191,24 @@ object Audio {
     */
   def decodeOne(id: Long, bytes: Array[Byte]): DecodedAudio = {
     val b = if (bytes == null) Array.empty[Byte] else bytes
-    parseWav(b) match {
+    // poison-row contract (same as Multimodal.decodeOne): a structurally
+    // corrupt payload must degrade to the stub, never kill the Spark task
+    val parsed =
+      try parseWav(b)
+      catch { case scala.util.control.NonFatal(_) => None }
+    parsed match {
       case Some((meta, dataOff, nFrames)) if nFrames <= MaxFrames =>
-        DecodedAudio(id, b.length.toLong, meta,
+        try DecodedAudio(id, b.length.toLong, meta,
           duration_us = meta.nFrames * 1000000L / meta.sampleRate,
           sample_sum = sampleSum(b, meta, dataOff),
           feature = audioFeature(b, meta, dataOff))
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            val stub = decodeStub(b)
+            DecodedAudio(id, b.length.toLong, stub,
+              duration_us = stub.nFrames * 1000000L / stub.sampleRate,
+              sample_sum = -1L, feature = Array.empty[Float])
+        }
       case Some((meta, _, _)) =>
         DecodedAudio(id, b.length.toLong, meta,
           duration_us = meta.nFrames * 1000000L / meta.sampleRate,
@@ -245,6 +288,49 @@ object Audio {
     tag4("data"); w32(pcm.length)
     out.write(pcm)
     if ((pcm.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Deterministic IEEE-float WAV (format tag 3, 32-bit), the format-3
+    * counterpart of [[syntheticWav]] with its own closed form:
+    *   channels c = 1 + id mod 2,   sampleRate = 8000,   bits = 32
+    *   nFrames  n = 16 + id mod 97
+    *   sample(i,ch) = (((13i + 17ch + idm) mod 4096) - 2048) / 256
+    * with idm = id mod 256. Every sample is a dyadic multiple of 1/256 in
+    * [-8, 8) — exactly representable in float32 — so [[sampleSum]]'s
+    * `round(sample * 256)` recovers the integer numerator exactly and the
+    * SQL oracle can restate the sum from the formula alone. The fmt chunk
+    * is written at size 18 (trailing cbSize = 0), the layout real format-3
+    * writers emit, exercising the non-16-byte fmt-size path.
+    */
+  def syntheticFloatWav(docId: Long): Array[Byte] = {
+    val id = docId & Long.MaxValue
+    val c = (1L + id % 2L).toInt
+    val n = (16L + id % 97L).toInt
+    val idm = (id % 256L).toInt
+    val out = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def tag4(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val dataLen = n * c * 4
+    tag4("RIFF"); w32(4 + (8 + 18) + (8 + dataLen)); tag4("WAVE")
+    tag4("fmt "); w32(18)
+    w16(3); w16(c); w32(8000)
+    w32(8000L * c * 4); w16(c * 4); w16(32); w16(0)
+    tag4("data"); w32(dataLen)
+    var i = 0
+    while (i < n) {
+      var ch = 0
+      while (ch < c) {
+        val m = ((13 * i + 17 * ch + idm) % 4096) - 2048
+        w32(java.lang.Float.floatToIntBits(m / 256.0f).toLong & 0xffffffffL)
+        ch += 1
+      }
+      i += 1
+    }
     out.toByteArray
   }
 }

@@ -77,9 +77,18 @@ object Dedup {
     * shingle hashes are folded into [0, 2^61) before hashing.
     */
   def minhashSignature(text: String, k: Int, shingleN: Int, seed: Long): Array[Long] = {
+    val (as, bs) = minhashCoefficients(k, seed)
+    minhashSignature(text, k, shingleN, as, bs)
+  }
+
+  /** Coefficient-array variant: callers that process many documents hoist
+    * [[minhashCoefficients]] once (per task closure) instead of spinning up
+    * a `java.util.Random` and two k-length arrays per row.
+    */
+  def minhashSignature(text: String, k: Int, shingleN: Int,
+                       as: Array[Long], bs: Array[Long]): Array[Long] = {
     val sh = shingles(text, shingleN)
     val sig = Array.fill(k)(Long.MaxValue)
-    val (as, bs) = minhashCoefficients(k, seed)
     var i = 0
     while (i < sh.length) {
       val x = sh(i) & MersennePrime
@@ -103,9 +112,13 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text"): Dataset[MinhashSig] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // coefficients are deterministic in (k, seed): derive once on the driver
+    // and ship in the task closure — never per row (2 k-length arrays + 2k
+    // Random draws each) nor even per partition
+    val (as, bs) = minhashCoefficients(k, seed)
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        MinhashSig(id, minhashSignature(if (text == null) "" else text, k, shingleN, seed))
+        MinhashSig(id, minhashSignature(if (text == null) "" else text, k, shingleN, as, bs))
       })
   }
 

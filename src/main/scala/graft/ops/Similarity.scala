@@ -17,6 +17,51 @@ object Similarity {
 
   final case class Neighbor(query_id: Long, neighbor_id: Long, sim: Double)
 
+  /** Map-side bounded top-k: each partition keeps at most k candidates per
+    * query_id (min-heap under the final ranking order (sim desc,
+    * neighbor_id asc)), so the global rank window sees O(partitions ×
+    * queries × k) rows instead of O(probes × bucketWidth). Keeping the
+    * per-partition top-k under the SAME total order as the window makes
+    * this a pure pre-filter: every globally top-k row survives its
+    * partition's heap, so the final ranking is bit-identical.
+    */
+  def partitionTopK(scored: Dataset[Neighbor], k: Int): Dataset[Neighbor] = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.mapPartitions { it =>
+      // min-heap: head = weakest kept candidate (lowest sim; ties evict the
+      // higher neighbor_id first, matching the window's asc-id preference)
+      val heaps = new java.util.HashMap[Long, java.util.PriorityQueue[(Double, Long)]]()
+      val ord = Ordering.by[(Double, Long), (Double, Long)](t => (t._1, -t._2))
+      it.foreach { n =>
+        var h = heaps.get(n.query_id)
+        if (h == null) {
+          h = new java.util.PriorityQueue[(Double, Long)](k + 1, ord)
+          heaps.put(n.query_id, h)
+        }
+        h.add((n.sim, n.neighbor_id))
+        if (h.size > k) h.poll()
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.entrySet().iterator().asScala.flatMap { e =>
+        e.getValue.iterator.asScala.map { case (s, id) => Neighbor(e.getKey, id, s) }
+      }
+    }
+  }
+
+  /** Global top-k rank over a (bounded) candidate set; deterministic
+    * tie-break by ascending neighbor_id.
+    */
+  private def rankTopK(candidates: Dataset[Neighbor], k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    candidates.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -73,14 +118,7 @@ object Similarity {
         }
       }
 
-    // global top-k over the bounded candidate set; deterministic tie-break
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    candidates.toDF()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("sim"))
+    rankTopK(candidates, k)
   }
 
   // -------------------------------------------------------------------
@@ -163,7 +201,19 @@ object Similarity {
   def lshTopK(base: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 8, seed: Long = 42L,
               dim: Option[Int] = None,
-              maxBucket: Int = 1 << 20): DataFrame = {
+              maxBucket: Int = 1 << 20): DataFrame =
+    rankTopK(lshCandidates(base, queries, k, nPlanes, seed, dim, maxBucket), k)
+
+  /** The bounded candidate set entering [[lshTopK]]'s rank window: scored
+    * bucket-join rows squeezed through [[partitionTopK]], so at most
+    * `partitions × queries × k` rows shuffle into the window — a degenerate
+    * (but under-cap) bucket never funnels its full width into one window
+    * task. Exposed so a spec can assert the bound.
+    */
+  def lshCandidates(base: DataFrame, queries: DataFrame, k: Int,
+                    nPlanes: Int = 8, seed: Long = 42L,
+                    dim: Option[Int] = None,
+                    maxBucket: Int = 1 << 20): Dataset[Neighbor] = {
     val spark = base.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(hyperplanes(nPlanes, resolveDim(base, dim), seed))
@@ -192,13 +242,7 @@ object Similarity {
       .as[(Int, Long, Array[Float], Long, Array[Float])]
       .map { case (_, qid, qe, nid, ne) => Neighbor(qid, nid, cosine(qe, ne)) }
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.toDF()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("sim"))
+    partitionTopK(scored, k)
   }
 
   /** Base buckets dropped by [[lshTopK]]'s width cap: (bucket, n_docs) for
@@ -355,7 +399,15 @@ object Similarity {
     */
   def ivfTopK(base: DataFrame, queries: DataFrame, k: Int,
               centroids: Array[Array[Double]], nProbe: Int = 2,
-              maxList: Int = 1 << 20): DataFrame = {
+              maxList: Int = 1 << 20): DataFrame =
+    rankTopK(ivfCandidates(base, queries, k, centroids, nProbe, maxList), k)
+
+  /** The bounded candidate set entering [[ivfTopK]]'s rank window — same
+    * [[partitionTopK]] squeeze as [[lshCandidates]].
+    */
+  def ivfCandidates(base: DataFrame, queries: DataFrame, k: Int,
+                    centroids: Array[Array[Double]], nProbe: Int = 2,
+                    maxList: Int = 1 << 20): Dataset[Neighbor] = {
     val spark = base.sparkSession
     import spark.implicits._
     val cB = spark.sparkContext.broadcast(centroids)
@@ -382,13 +434,7 @@ object Similarity {
       .as[(Int, Long, Array[Float], Long, Array[Float])]
       .map { case (_, qid, qe, nid, ne) => Neighbor(qid, nid, cosine(qe, ne)) }
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.toDF()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("sim"))
+    partitionTopK(scored, k)
   }
 
   /** Lists dropped by [[ivfTopK]]'s width cap: (list_id, n_docs) for every

@@ -448,4 +448,82 @@ class OpsSpec extends AnyFunSuite {
     assert(d.meta.format == "wav" && d.meta.channels == ref.meta.channels)
     assert(d.meta.nFrames == ref.meta.nFrames && d.sample_sum == ref.sample_sum)
   }
+
+  test("audio IEEE-float WAV (format 3) decode matches the dyadic closed form") {
+    val ids = (1L to 12L) ++ Seq(95L, 100L, 255L, 1000L)
+    ids.foreach { id =>
+      val d = Audio.decodeOne(id, Audio.syntheticFloatWav(id))
+      val c = (1L + id % 2L).toInt
+      val n = (16L + id % 97L).toInt
+      val idm = (id % 256L).toInt
+      var sum = 0L
+      for (i <- 0 until n; ch <- 0 until c)
+        sum += ((13 * i + 17 * ch + idm) % 4096) - 2048
+      assert(d.meta.format == "wavf", s"doc $id format ${d.meta.format}")
+      assert(d.meta.channels == c && d.meta.bits == 32, s"doc $id shape")
+      assert(d.meta.sampleRate == 8000 && d.meta.nFrames == n.toLong, s"doc $id frames")
+      assert(d.duration_us == n.toLong * 125L, s"doc $id duration")
+      assert(d.sample_sum == sum, s"doc $id sum ${d.sample_sum} != $sum")
+      // float samples lie in [-8, 8); full-scale for the feature is 1.0, so
+      // buckets may exceed 1 — only finiteness and shape are asserted
+      assert(d.feature.length == 8 && d.feature.forall(f => !f.isNaN))
+    }
+  }
+
+  test("audio chunk walk survives 32-bit declared-size bombs (Long cursor)") {
+    def wavWithJunkSize(junkSz: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+      def t4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      t4("RIFF"); w32(0x7fffffffL); t4("WAVE")
+      t4("JUNK"); w32(junkSz) // declared size >> actual remaining bytes
+      bos.write(new Array[Byte](64))
+      bos.toByteArray
+    }
+    // the ADVICE scenario: sz in [2^31-body, 2^31) passes the old guard but
+    // wraps `body + sz.toInt` negative -> was an uncaught
+    // IndexOutOfBoundsException; the Long cursor must end the walk cleanly
+    for (sz <- Seq(2147483628L, 0xFFFFFFE0L, 0xFFFFFFFFL, 0x80000000L)) {
+      val d = Audio.decodeOne(1L, wavWithJunkSize(sz))
+      assert(d.meta.format == "stub", s"sz=$sz must degrade, got ${d.meta.format}")
+      assert(d.sample_sum == -1L)
+    }
+    // and a DATA chunk declaring a bomb size over a short payload: the
+    // length cap turns it into the actual byte count, decode stays real
+    val good = Audio.syntheticWav(2L)
+    val dataIdx = good.indexOfSlice("data".getBytes("US-ASCII"))
+    val bombed = good.clone()
+    bombed(dataIdx + 4) = 0xff.toByte; bombed(dataIdx + 5) = 0xff.toByte
+    bombed(dataIdx + 6) = 0xff.toByte; bombed(dataIdx + 7) = 0x7f.toByte
+    val d2 = Audio.decodeOne(2L, bombed)
+    val ref2 = Audio.decodeOne(2L, good)
+    assert(d2.meta.format == "wav" && d2.meta.nFrames == ref2.meta.nFrames)
+    assert(d2.sample_sum == ref2.sample_sum)
+  }
+
+  test("ANN candidate set entering the rank window is bounded (map-side top-k)") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(d => math.sin(seed * 131 + d * 17).toFloat)
+    val base = (0L until 200L).map(i => (i, vec(i.toInt)))
+    val df = base.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    val k = 5
+    val lshCands = Similarity.lshCandidates(df, queries, k, nPlanes = 6)
+    val lshBound = lshCands.rdd.getNumPartitions.toLong * 10L * k
+    assert(lshCands.count() <= lshBound,
+      s"lsh candidates ${lshCands.count()} exceed partitions*queries*k=$lshBound")
+    val cs = Similarity.ivfCentroids(4, 16, 42L)
+    val ivfCands = Similarity.ivfCandidates(df, queries, k, cs, nProbe = 2)
+    val ivfBound = ivfCands.rdd.getNumPartitions.toLong * 10L * k
+    assert(ivfCands.count() <= ivfBound,
+      s"ivf candidates ${ivfCands.count()} exceed partitions*queries*k=$ivfBound")
+    // and each query still yields at most k ranked rows with rank 1..k
+    val ranked = Similarity.lshTopK(df, queries, k, nPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    ranked.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= k && rows.map(_._2).sorted.sameElements(1L to rows.length.toLong), s"query $q ranks")
+    }
+  }
 }
