@@ -724,8 +724,10 @@ object SparkEntry {
     // with predictors, content-stream text interpreter with layout
     // assembly). Payloads are PdfGen.syntheticPdf(id) — the id selects the
     // structural writer variant (modern/classic, raw/compressed, Tj / ' /
-    // TJ show styles) — except id % 7 == 0 rows, which carry raw text bytes
-    // to exercise the poison-row path. The oracle restates page count and
+    // TJ show styles, id%19==5 -> ENCRYPTED poison, id%17==1 classic ->
+    // embedded DCTDecode image XObject with an endstream decoy) — except
+    // id % 7 == 0 rows, which carry raw text bytes to exercise the
+    // poison-row path. The oracle restates page count and
     // the FULL extracted text from the generator's closed-form formulas:
     // if the parser missed a page, line, kern or show operator, the strings
     // could not match.
@@ -1249,13 +1251,18 @@ object SparkEntry {
       ("SELECT doc_id, CAST(0 AS BIGINT) AS n_pages, CAST(NULL AS VARCHAR) AS text, " +
         "'not_pdf' AS error FROM documents WHERE doc_id % 7 = 0 " +
         "UNION ALL " +
+        // id % 19 == 5: the generator's ENCRYPTED variant — stable poison
+        // code, no text (decryption is out of scope by design)
+        "SELECT doc_id, CAST(0 AS BIGINT) AS n_pages, CAST(NULL AS VARCHAR) AS text, " +
+        "'encrypted' AS error FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 19 = 5 " +
+        "UNION ALL " +
         "SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS n_pages, " +
         "list_aggregate(list_transform(range(0, 1 + doc_id % 3), p -> " +
         "list_aggregate(list_transform(range(0, 2 + (doc_id + p) % 3), j -> " +
         "'doc ' || doc_id || ' page ' || p || ' line ' || j), 'string_agg', chr(10))), " +
         "'string_agg', chr(10) || chr(10)) AS text, " +
         "CAST(NULL AS VARCHAR) AS error " +
-        "FROM documents WHERE doc_id % 7 <> 0"),
+        "FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 19 <> 5"),
 
     // layout replay: baseline y of line j is 720 - 20*j at font size 12
     "q_pdf_layout" ->
@@ -1265,7 +1272,8 @@ object SparkEntry {
         "CAST(720 - 20 * (1 + (d.doc_id + g.p) % 3) AS BIGINT) AS bottom_y, " +
         "'doc ' || d.doc_id || ' page ' || g.p || ' line 0' AS first_line " +
         "FROM documents d, generate_series(0, 2) AS g(p) " +
-        "WHERE d.doc_id % 7 <> 0 AND g.p < 1 + d.doc_id % 3"),
+        // encrypted docs (% 19 = 5) contribute no page rows
+        "WHERE d.doc_id % 7 <> 0 AND d.doc_id % 19 <> 5 AND g.p < 1 + d.doc_id % 3"),
 
     "q_doc_stats" ->
       ("SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, avg(n_chars) AS avg_chars " +

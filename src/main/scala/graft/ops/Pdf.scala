@@ -624,6 +624,11 @@ object Pdf {
       }
       if (!trailer.contains("Root")) findRootByScan()
       if (!trailer.contains("Root")) throw new PdfParseException("no_root")
+      // Encrypted documents (ubiquitous in crawled corpora): strings and
+      // streams are RC4/AES-enciphered, so "extracting" would emit garbage
+      // that LOOKS like text. Refuse with a stable poison code instead —
+      // decryption is out of scope by design.
+      if (trailer.contains("Encrypt")) throw new PdfParseException("encrypted")
     }
 
     private def findStartxref(): Long = {

@@ -219,12 +219,56 @@ object PdfGen {
       }
     }
     sb.append("ET\n")
+    // paint the embedded DCT image: `Do` has no text effect, so the
+    // closed-form expected text is unchanged — the point is that the
+    // interpreter steps over it rather than poisoning
+    if (hasDctImage(id)) sb.append("q 100 0 0 100 200 400 cm /Im0 Do Q\n")
     sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** Deterministic JPEG-shaped binary payload for the DCT image XObject:
+    * SOI/APP0 header, xorshift body bytes (full 0-255 range), a decoy
+    * ASCII `endstream` spliced mid-body (the declared /Length must win
+    * over any naive byte scan), EOI tail.
+    */
+  private def dctBytes(id: Long): Array[Byte] = {
+    val n = 192 + (id % 64L).toInt
+    val out = new Array[Byte](n)
+    out(0) = 0xff.toByte; out(1) = 0xd8.toByte
+    out(2) = 0xff.toByte; out(3) = 0xe0.toByte
+    var x = id | 1L
+    var i = 4
+    while (i < n - 2) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      out(i) = (x & 0xff).toByte
+      i += 1
+    }
+    val decoy = "endstream".getBytes(StandardCharsets.ISO_8859_1)
+    System.arraycopy(decoy, 0, out, 64, decoy.length)
+    out(n - 2) = 0xff.toByte; out(n - 1) = 0xd9.toByte
+    out
+  }
+
+  /** Whether `syntheticPdf(id)` emits the ENCRYPTED variant (a structurally
+    * valid PDF whose trailer carries /Encrypt): the parser must refuse it
+    * with the stable `encrypted` poison code, never attempt extraction.
+    */
+  def isEncrypted(docId: Long): Boolean = (docId & Long.MaxValue) % 19L == 5L
+
+  /** Whether `syntheticPdf(id)` embeds a DCTDecode image XObject (binary
+    * JPEG-shaped payload, including a decoy `endstream` inside the data)
+    * referenced by a `Do` operator: extracted text must be unaffected —
+    * image pixel data is stepped over via /Length, never decoded.
+    */
+  def hasDctImage(docId: Long): Boolean = {
+    val id = docId & Long.MaxValue
+    !isEncrypted(id) && id % 9L != 0L && id % 17L == 1L
   }
 
   def syntheticPdf(docId: Long): Array[Byte] = {
     val id = docId & Long.MaxValue
-    if (id % 9L == 0L) modernPdf(id) else classicPdf(id)
+    if (isEncrypted(id)) encryptedPdf(id)
+    else if (id % 9L == 0L) modernPdf(id) else classicPdf(id)
   }
 
   // ------------------------------------------------------------------
@@ -234,8 +278,11 @@ object PdfGen {
     val np = nPages(id)
     val compress = id % 4L != 0L
     val withCMap = id % 11L == 0L
+    val withImage = hasDctImage(id)
     val fontObj = 3 + 2 * np
-    val nObj = if (withCMap) fontObj + 1 else fontObj // +1: ToUnicode stream
+    val cmapObjs = if (withCMap) 1 else 0 // ToUnicode stream
+    val imgObj = fontObj + cmapObjs + 1
+    val nObj = fontObj + cmapObjs + (if (withImage) 1 else 0)
     val bos = new ByteArrayOutputStream(2048)
     val offsets = new Array[Long](nObj + 1)
     def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -249,8 +296,9 @@ object PdfGen {
       s"] /Count $np >>\nendobj\n")
     for (p <- 0 until np) {
       beginObj(3 + 2 * p)
+      val xobjRes = if (withImage) s" /XObject << /Im0 $imgObj 0 R >>" else ""
       w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents ${4 + 2 * p} 0 R >>\nendobj\n")
+        s"/Resources << /Font << /F1 $fontObj 0 R >>$xobjRes >> /Contents ${4 + 2 * p} 0 R >>\nendobj\n")
       beginObj(4 + 2 * p)
       val raw = contentBytes(id, p)
       val (data, filter) =
@@ -276,12 +324,62 @@ object PdfGen {
     } else {
       w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n")
     }
+    if (withImage) {
+      val img = dctBytes(id)
+      beginObj(imgObj)
+      w(s"<< /Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode " +
+        s"/Length ${img.length} >>\nstream\n")
+      bos.write(img, 0, img.length)
+      w("\nendstream\nendobj\n")
+    }
 
     val xrefOff = bos.size.toLong
     w(s"xref\n0 ${nObj + 1}\n")
     w("0000000000 65535 f\r\n")
     for (n <- 1 to nObj) w(f"${offsets(n)}%010d 00000 n\r\n")
     w(s"trailer\n<< /Size ${nObj + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Encrypted variant: structurally valid classic PDF whose trailer carries
+  // /Encrypt (standard security handler dict). The content stream bytes are
+  // deterministic cipher-shaped garbage — the parser must refuse at the
+  // trailer (stable `encrypted` poison code) and never reach them.
+
+  private def encryptedPdf(id: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(1024)
+    val offsets = new Array[Long](6)
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(n: Int): Unit = { offsets(n) = bos.size.toLong; w(s"$n 0 obj\n") }
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2); w("<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    beginObj(3)
+    w("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n")
+    beginObj(4)
+    val junk = new Array[Byte](48 + (id % 32L).toInt)
+    var x = id | 3L
+    var i = 0
+    while (i < junk.length) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      junk(i) = (x & 0xff).toByte
+      i += 1
+    }
+    w(s"<< /Length ${junk.length} >>\nstream\n")
+    bos.write(junk, 0, junk.length)
+    w("\nendstream\nendobj\n")
+    beginObj(5)
+    val ou = (0 until 32).map(j => f"${(id * 31 + j * 7) % 256}%02x").mkString
+    w("<< /Filter /Standard /V 2 /R 3 /P -44 " +
+      s"/O <$ou> /U <$ou> >>\nendobj\n")
+    val xrefOff = bos.size.toLong
+    w("xref\n0 6\n")
+    w("0000000000 65535 f\r\n")
+    for (n <- 1 to 5) w(f"${offsets(n)}%010d 00000 n\r\n")
+    w(s"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R " +
+      s"/ID [<${ou.take(32)}> <${ou.take(32)}>] >>\nstartxref\n$xrefOff\n%%EOF\n")
     bos.toByteArray
   }
 

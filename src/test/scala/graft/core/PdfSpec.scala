@@ -19,15 +19,50 @@ class PdfSpec extends AnyFunSuite {
 
   test("synthetic PDFs round-trip to the closed-form text (ids 0..179)") {
     for (id <- 0L until 180L) {
-      val doc = Pdf.parse(PdfGen.syntheticPdf(id))
-      assert(doc.pages.length == PdfGen.nPages(id), s"id=$id pages")
-      assert(doc.text == PdfGen.expectedText(id), s"id=$id text")
-      assert(doc.warnings.isEmpty, s"id=$id warnings: ${doc.warnings}")
+      if (PdfGen.isEncrypted(id)) {
+        // encrypted variant: stable poison code, never garbage text
+        val e = intercept[PdfParseException](Pdf.parse(PdfGen.syntheticPdf(id)))
+        assert(e.getMessage == "encrypted", s"id=$id code=${e.getMessage}")
+      } else {
+        val doc = Pdf.parse(PdfGen.syntheticPdf(id))
+        assert(doc.pages.length == PdfGen.nPages(id), s"id=$id pages")
+        assert(doc.text == PdfGen.expectedText(id), s"id=$id text")
+        assert(doc.warnings.isEmpty, s"id=$id warnings: ${doc.warnings}")
+      }
     }
   }
 
+  test("DCT image XObject variant: binary JPEG payload with endstream decoy is stepped over") {
+    // id 1 embeds the image (classic, %17==1): wire carries /DCTDecode and
+    // the decoy, extraction is unaffected and warning-free (the pixel data
+    // is never decoded — an unsupported-filter warning would mean the
+    // interpreter wrongly tried)
+    assert(PdfGen.hasDctImage(1L))
+    val wire = new String(PdfGen.syntheticPdf(1L), StandardCharsets.ISO_8859_1)
+    assert(wire.contains("/Filter /DCTDecode"))
+    assert(wire.sliding("endstream".length).count(_ == "endstream") > 3) // decoys present
+    // id 52 is the uncompressed-classic image variant: the Do operator is
+    // readable on the wire there (id 1's content is flate-compressed)
+    assert(PdfGen.hasDctImage(52L))
+    val wire52 = new String(PdfGen.syntheticPdf(52L), StandardCharsets.ISO_8859_1)
+    assert(wire52.contains("/Im0 Do"))
+    for (id <- Seq(1L, 52L)) {
+      val doc = Pdf.parse(PdfGen.syntheticPdf(id))
+      assert(doc.text == PdfGen.expectedText(id), s"id=$id")
+      assert(doc.warnings.isEmpty, doc.warnings.mkString(","))
+    }
+  }
+
+  test("encrypted trailer is refused before any stream decode") {
+    assert(PdfGen.isEncrypted(5L))
+    val wire = new String(PdfGen.syntheticPdf(5L), StandardCharsets.ISO_8859_1)
+    assert(wire.contains("/Encrypt 5 0 R") && wire.contains("/Filter /Standard"))
+    val e = intercept[PdfParseException](Pdf.parse(PdfGen.syntheticPdf(5L)))
+    assert(e.getMessage == "encrypted")
+  }
+
   test("synthetic layout: line count and baseline y per page") {
-    for (id <- Seq(0L, 1L, 5L, 9L, 12L, 45L, 77L)) {
+    for (id <- Seq(0L, 1L, 6L, 9L, 12L, 45L, 77L)) { // 6 not 5: id 5 is the encrypted arm
       val doc = Pdf.parse(PdfGen.syntheticPdf(id))
       doc.pages.zipWithIndex.foreach { case (pg, p) =>
         val n = PdfGen.nLines(id, p)
