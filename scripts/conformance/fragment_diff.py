@@ -209,6 +209,37 @@ def corpus():
             s = afe_snippet()
             for c in a_contexts:
                 cases.append((c, s))
+
+    # FRAG_DIFF_PROFILE=select: select-family contexts — the fabricated
+    # open-element stack plus the reset-insertion-mode sub-walk decide
+    # whether the parser starts in "in select" / "in select in table", and
+    # the in-select implied closes + select-closing tags (input/keygen/
+    # textarea/select) + <hr>-in-select all run against that fabrication.
+    if os.environ.get('FRAG_DIFF_PROFILE') == 'select':
+        s_contexts = ["select", "option", "optgroup", "datalist", "td",
+                      "table", "tr", "div", "form", "button", "body",
+                      "template", "caption"]
+        s_bits = ["<select>", "</select>", "<option>o", "</option>",
+                  "<optgroup>", "</optgroup>", "<hr>", "<input>",
+                  "<keygen>", "<textarea>t</textarea>", "<textarea>",
+                  "<option selected>p", "<optgroup label=g>",
+                  "<script>s</script>", "<template><option>q</template>",
+                  "<table>", "</table>", "<tr>", "<td>", "</td>",
+                  "<caption>", "text", "  ", "&amp;", "<b>f", "</b>",
+                  "<svg>", "</svg>", "<select><option>n</select>",
+                  "<div>", "</div>", "</tr>", "<p>"]
+        def select_snippet():
+            parts = []
+            for _ in range(rng.randint(3, 12)):
+                parts.append(rng.choice(s_bits))
+            s = "".join(parts)
+            if rng.random() < 0.3:
+                s = s[: rng.randint(1, len(s))]
+            return s
+        for _ in range(60):
+            s = select_snippet()
+            for c in s_contexts:
+                cases.append((c, s))
     return cases
 
 

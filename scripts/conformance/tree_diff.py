@@ -441,6 +441,106 @@ def corpus():
             return case
         for _ in range(3000):
             cases.append(afe_case())
+
+    # TREE_DIFF_PROFILE=select: select/option/optgroup storm — the
+    # in-select insertion mode's implied closes, the tags that close a
+    # select from INSIDE (input/keygen/textarea/select), <hr> in select,
+    # select-in-table (the InSelectInTable td/tr/table interplay driving
+    # the reset-insertion-mode sub-walk), script/template inside select,
+    # formatting/foreign noise, and stray closers. The select compat patch
+    # has had no dedicated generator shape before this.
+    if os.environ.get('TREE_DIFF_PROFILE') == 'select':
+        rng = random.Random(seed0 ^ 0x3C6EF372)
+        sel_atoms = ["<select>", "</select>", "<option>", "</option>",
+                     "<optgroup>", "</optgroup>", "<hr>", "<input>",
+                     "<keygen>", "<textarea>", "</textarea>",
+                     "<select multiple>", "<option selected>",
+                     "<optgroup label=g>", "<script></script>",
+                     "<template>", "</template>", "<datalist>",
+                     "</datalist>", "<button>", "</button>"]
+        tbl_atoms = ["<table>", "</table>", "<tr>", "</tr>", "<td>",
+                     "</td>", "<caption>", "</caption>", "<tbody>",
+                     "</tbody>", "<th>", "<colgroup>", "<col>"]
+        def select_case():
+            parts = []
+            if rng.random() < 0.5:
+                parts.append(rng.choice(["<table>", "<table><tr>",
+                                         "<table><td>", "<div>", "<form>"]))
+            for _ in range(rng.randint(6, 26)):
+                r = rng.random()
+                if r < 0.55:
+                    parts.append(rng.choice(sel_atoms))
+                elif r < 0.72:
+                    parts.append(rng.choice(tbl_atoms))
+                elif r < 0.86:
+                    parts.append(rng.choice(["x", "opt text", " ", "&amp;",
+                                             "a b", "\tws"]))
+                else:
+                    parts.append(rng.choice(["<b>", "</b>", "<p>", "</p>",
+                                             "<li>", "<svg>", "</svg>",
+                                             "<math>", "</math>"]))
+            case = "".join(parts)
+            if rng.random() < 0.2:
+                case = case[: rng.randint(1, len(case))]
+            return case
+        for _ in range(3000):
+            cases.append(select_case())
+
+    # TREE_DIFF_PROFILE=entattr: entity-in-attribute storm — legacy
+    # no-semicolon named references and the attribute-suppression rule (a
+    # legacy match whose next char is [=a-zA-Z0-9] inside an attribute
+    # value must NOT decode: vendored entities decode path), numeric refs
+    # with windows-1252 remaps, bare/truncated refs hard against value and
+    # tag terminators, across double/single/unquoted values — with the same
+    # refs emitted in TEXT as the decode contrast.
+    if os.environ.get('TREE_DIFF_PROFILE') == 'entattr':
+        rng = random.Random(seed0 ^ 0xA54FF53A)
+        refs = ["&amp", "&amp;", "&AMP", "&AMP;", "&not", "&notin",
+                "&notin;", "&notindot", "&lt", "&ltx", "&gt", "&gt=",
+                "&copy", "&copy1", "&cent", "&para", "&times", "&timesb",
+                "&timesb;", "&divide", "&frac12", "&there4", "&#65",
+                "&#65;", "&#x41", "&#X41;", "&#151;", "&#151", "&#0;",
+                "&#xD800;", "&#x110000;", "&#;", "&#", "&#x", "&", "&&",
+                "&a", "&aamp;", "&curren", "&curren;", "&szlig", "&szlig;",
+                "&eacute", "&eacutex", "&Eacute"]
+        tails = ["", "=", "a", "1", "Z", ";", " ", "-"]
+        def entattr_case():
+            parts = []
+            for _ in range(rng.randint(4, 18)):
+                r = rng.random()
+                ref = rng.choice(refs) + rng.choice(tails)
+                if r < 0.42:
+                    q = rng.choice(['"', "'", ""])
+                    v = rng.choice(["", "x"]) + ref + \
+                        rng.choice(["", "y", rng.choice(refs)])
+                    if q == "" and (" " in v or '"' in v or "'" in v
+                                    or v == ""):
+                        q = '"'
+                    if q and q in v:
+                        v = v.replace(q, "")
+                    an = rng.choice(["href", "title", "data-x", "value",
+                                     "alt"])
+                    parts.append(f"<a {an}={q}{v}{q}>")
+                elif r < 0.60:
+                    parts.append(ref)  # same refs in TEXT: decode contrast
+                elif r < 0.72:
+                    parts.append(rng.choice(["<p>", "</p>", "</a>", "<b>",
+                                             "</b>", "x ",
+                                             "<div title=&notin>",
+                                             "<div title=&notin;x>"]))
+                elif r < 0.84:
+                    # ref hard against the unquoted value terminator
+                    parts.append(f"<i t={rng.choice(refs)}>")
+                else:
+                    parts.append(
+                        f"<u t='{rng.choice(refs)}'" +
+                        rng.choice([">", " >", "/>"]))
+            case = "".join(parts)
+            if rng.random() < 0.15:
+                case = case[: rng.randint(1, len(case))]
+            return case
+        for _ in range(3000):
+            cases.append(entattr_case())
     return cases
 
 

