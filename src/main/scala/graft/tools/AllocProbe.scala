@@ -70,5 +70,14 @@ object AllocProbe {
     }
     measure("extractOne (full)")(i =>
       Extraction.extractOne(turns(i), Extraction.DefaultBudgets, VisibleTextOptions()))
+    // minhash coefficient hoist (r5): seed-variant re-derives the k
+    // coefficient arrays per row; the pipeline uses the hoisted variant
+    val (mas, mbs) = graft.ops.Dedup.minhashCoefficients(64, 42L)
+    measure("minhash sig (per-row coeffs)") { i =>
+      graft.ops.Dedup.minhashSignature(htmls(i), 64, 3, 42L); ()
+    }
+    measure("minhash sig (hoisted coeffs)") { i =>
+      graft.ops.Dedup.minhashSignature(htmls(i), 64, 3, mas, mbs); ()
+    }
   }
 }
