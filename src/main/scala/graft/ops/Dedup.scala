@@ -149,7 +149,7 @@ object Dedup {
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     buckets.select(explode(expr(
-      "filter(transform(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p), p -> p.a < p.b)"
+      "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"
     )).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
