@@ -162,7 +162,13 @@ object Multimodal {
     val b = if (bytes == null) Array.empty[Byte] else bytes
     decodeImage(b) match {
       case Some((meta, Some(img))) =>
-        DecodedMedia(id, b.length.toLong, meta, pixelSum(img), imageFeature(img))
+        // sample pass guarded like Audio.decodeOne: a reader handing back a
+        // raster whose accessors throw must degrade, never kill the task
+        try DecodedMedia(id, b.length.toLong, meta, pixelSum(img), imageFeature(img))
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            DecodedMedia(id, b.length.toLong, decodeStub(b), -1L, featureStub(b))
+        }
       case Some((meta, None)) =>
         DecodedMedia(id, b.length.toLong, meta, -1L, Array.empty[Float])
       case None =>
