@@ -541,6 +541,92 @@ def corpus():
             return case
         for _ in range(3000):
             cases.append(entattr_case())
+
+    # TREE_DIFF_PROFILE=quirks: document-mode matrix storm — the WHATWG
+    # quirky public-id PREFIX list (case-insensitive, prefix-extended),
+    # the limited-quirks prefixes, the prefixes whose verdict flips on
+    # system-id PRESENCE (HTML 4.01 Frameset/Transitional), the quirky
+    # ibm system id, about:legacy-compat, malformed/force-quirks doctypes,
+    # and non-html doctype names — each followed by probes where the mode
+    # is TREE-VISIBLE (quirks keeps <table> inside an open <p>; standards
+    # closes the p first).
+    if os.environ.get('TREE_DIFF_PROFILE') == 'quirks':
+        rng = random.Random(seed0 ^ 0x510E527F)
+        quirky_pub = [
+            "+//Silmaril//dtd html Pro v0r11 19970101//",
+            "-//AS//DTD HTML 3.0 asWedit + extensions//",
+            "-//AdvaSoft Ltd//DTD HTML 3.0 asWedit + extensions//",
+            "-//IETF//DTD HTML 2.0 Level 1//", "-//IETF//DTD HTML 2.0//",
+            "-//IETF//DTD HTML 3.0//", "-//IETF//DTD HTML Strict//",
+            "-//IETF//DTD HTML//", "-//Metrius//DTD Metrius Presentational//",
+            "-//Microsoft//DTD Internet Explorer 2.0 HTML//",
+            "-//Netscape Comm. Corp.//DTD HTML//",
+            "-//O'Reilly and Associates//DTD HTML 2.0//",
+            "-//SQ//DTD HTML 2.0 HoTMetaL + extensions//",
+            "-//Spyglass//DTD HTML 2.0 Extended//",
+            "-//Sun Microsystems Corp.//DTD HotJava HTML//",
+            "-//W3C//DTD HTML 3 1995-03-24//", "-//W3C//DTD HTML 3.2 Final//",
+            "-//W3C//DTD HTML 3.2//", "-//W3C//DTD HTML 3.2S Draft//",
+            "-//W3C//DTD HTML 4.0 Frameset//",
+            "-//W3C//DTD HTML 4.0 Transitional//",
+            "-//W3C//DTD W3 HTML//", "-//W3O//DTD W3 HTML 3.0//",
+            "-//WebTechs//DTD Mozilla HTML 2.0//",
+        ]
+        exact_pub = ["-//W3O//DTD W3 HTML Strict 3.0//EN//",
+                     "-/W3C/DTD HTML 4.0 Transitional/EN", "HTML"]
+        limited_pub = ["-//W3C//DTD XHTML 1.0 Frameset//",
+                       "-//W3C//DTD XHTML 1.0 Transitional//"]
+        dual_pub = ["-//W3C//DTD HTML 4.01 Frameset//",
+                    "-//W3C//DTD HTML 4.01 Transitional//"]
+        sysids = ["", ' "http://www.w3.org/TR/html4/loose.dtd"',
+                  " 'x'", ' "about:legacy-compat"',
+                  ' "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd"']
+        def mangle(s):
+            return "".join(
+                ch.upper() if rng.random() < 0.35 else ch.lower()
+                if rng.random() < 0.5 else ch for ch in s)
+        def mk_doctype():
+            r = rng.random()
+            if r < 0.10:
+                return rng.choice(["", "<!doctype html>", "<!DOCTYPE HTML>",
+                                   "<!doctype html SYSTEM 'about:legacy-compat'>",
+                                   "<!doctype htm>", "<!doctype xhtml>",
+                                   "<!doctype html PUBLIC>", "<!doctype"])
+            pub = rng.choice(quirky_pub + exact_pub + limited_pub + dual_pub)
+            if rng.random() < 0.5:
+                pub = mangle(pub)
+            if rng.random() < 0.4 and not pub.endswith(("//", "EN")):
+                pub += rng.choice(["EN", "EN//4.0", "xyz"])
+            elif rng.random() < 0.3:
+                pub += rng.choice(["EN", "junk tail", ""])
+            q = rng.choice(['"', "'"])
+            if q in pub:
+                q = '"' if q == "'" else "'"
+            sysid = rng.choice(sysids)
+            kw = rng.choice(["PUBLIC", "public", "PuBlIc"])
+            name = rng.choice(["html", "HTML", "Html"])
+            return f"<!DOCTYPE {name} {kw} {q}{pub}{q}{sysid}>"
+        probes = [
+            "<p>x<table><td>y</td></table>z",
+            "<p><b>f</b><table><tr><td>c</td></tr></table>tail",
+            "<p>a<p>b<table></table>",
+            "<form><p><table><td><p>inner</table>",
+            "<p><table><caption>cap</caption></table>",
+            "x<table>loose<td>t</table>",
+        ]
+        def quirks_case():
+            parts = [mk_doctype()]
+            if rng.random() < 0.2:
+                parts.append("<!-- lead -->")
+            parts.append(rng.choice(probes))
+            if rng.random() < 0.3:
+                parts.append(rng.choice(probes))
+            case = "".join(parts)
+            if rng.random() < 0.1:
+                case = case[: rng.randint(1, len(case))]
+            return case
+        for _ in range(3000):
+            cases.append(quirks_case())
     return cases
 
 

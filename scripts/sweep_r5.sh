@@ -40,6 +40,7 @@ for seed in $SEEDS; do
   # NEW round-5 shapes on every seed
   run "tree-select-$seed"  env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=select python3 scripts/conformance/tree_diff.py
   run "tree-entattr-$seed" env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=entattr python3 scripts/conformance/tree_diff.py
+  run "tree-quirks-$seed"  env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=quirks python3 scripts/conformance/tree_diff.py
   run "frag-select-$seed"  env FRAG_DIFF_SEED=$seed FRAG_DIFF_PROFILE=select python3 scripts/conformance/fragment_diff.py
 done
 # standing shape battery on one fresh seed (r3 lesson: vary the SHAPE)
