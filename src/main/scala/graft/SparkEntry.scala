@@ -592,6 +592,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // ---- near-dup clustering: connected components over a pair graph
+    // that is CLOSED-FORM in doc_id — stars {3k, 3k+1, 3k+2} whose roots
+    // chain (3k -> 3k-3 unless k % 4 == 0), giving components of 12
+    // consecutive ids with small diameter. The operator must genuinely
+    // propagate labels across the chain joins; the oracle restates the
+    // fixpoint directly: rep = id - id % 12. (A root at the corpus max id
+    // with no leaves/chain is isolated and appears on neither side.)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+      val stars = ids.filter(col("id") % 3 =!= 0)
+        .select(col("id").as("id_a"), (col("id") - col("id") % 3).as("id_b"))
+      val chains = ids.filter(col("id") % 3 === 0 && (col("id") / 3) % 4 =!= 0)
+        .select(col("id").as("id_a"), (col("id") - 3).as("id_b"))
+      Dedup.nearDupClusters(stars.unionAll(chains))
+    }),
+
     "q_simhash" -> ((s, dir) => Dedup.simhashes(docs(s, dir)).toDF()),
 
     "q_embed_near_dup" -> ((s, dir) => {
@@ -1114,6 +1130,13 @@ object SparkEntry {
 
     "q_near_dup_pairs" ->
       "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents WHERE doc_id < 50",
+
+    // fixpoint of min-label propagation over the closed-form pair graph:
+    // components are the 12-id blocks; a block-aligned root at the corpus
+    // max id has no incident pair and is excluded on both sides
+    "q_dedup_clusters" ->
+      ("SELECT doc_id AS id, doc_id - doc_id % 12 AS rep_id FROM documents " +
+        "WHERE NOT (doc_id % 12 = 0 AND doc_id = (SELECT max(doc_id) FROM documents))"),
 
     "q_embed_near_dup" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings WHERE vec_id < 30",

@@ -186,6 +186,76 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Near-duplicate clustering (connected components over candidate pairs)
+
+  /** Connected components over an undirected pair list — the final step of
+    * corpus dedup: near-dup PAIRS (from [[candidatePairs]] /
+    * [[embeddingNearDups]] / simhash) fold into CLUSTERS, and each cluster
+    * keeps one canonical representative (its minimum id).
+    *
+    * Algorithm: iterative min-label propagation to fixpoint. Each round is
+    * one hash join (edges × labels) + one partial-aggregated groupBy — both
+    * shuffle on the id key, no driver materialization; label rows are two
+    * longs. The result is the unique fixpoint (every node labeled with the
+    * minimum id reachable from it), so it is DETERMINISTIC regardless of
+    * partitioning or join order. Convergence needs O(component diameter)
+    * rounds; near-dup clusters are dense (diameter is small — a transitive
+    * chain of near-dups is rare and bounded), and `maxIters` caps hostile
+    * graphs: if the cap is hit before fixpoint the method THROWS rather
+    * than silently returning partially-merged clusters (the cap is an
+    * accounting guard, not a silent truncation). Iterations localCheckpoint
+    * the label table to keep the plan from growing unboundedly; set a
+    * cluster checkpoint dir + `reliableCheckpoint` in production jobs where
+    * executor loss during the (short) clustering phase matters.
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, comp) — one row per distinct
+    * node, `comp` = min reachable id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = {
+      val p = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist()
+    }
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var changed = 1L
+    while (changed > 0L && it < maxIters) {
+      // every node offers its current label to its neighbors; a node keeps
+      // the minimum of its own label and all offers (partial agg map-side)
+      val offers = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).union(offers)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.comp") =!= col("p.comp"))
+        .count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    if (changed > 0L)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — component diameter exceeds the cap")
+    labels
+  }
+
+  /** Cluster representatives: (id, rep_id) for every node in `pairs`, where
+    * rep_id is the canonical (minimum) id of the node's near-dup cluster —
+    * rows with id != rep_id are the droppable duplicates.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    connectedComponents(pairs, maxIters)
+      .select(col("id"), col("comp").as("rep_id"))
+
+  // -------------------------------------------------------------------
   // SimHash
 
   /** 64-bit SimHash over word hashes (bit-vote aggregation). */

@@ -502,6 +502,53 @@ class OpsSpec extends AnyFunSuite {
     assert(d2.sample_sum == ref2.sample_sum)
   }
 
+  test("connectedComponents matches a local union-find on a random graph") {
+    import spark.implicits._
+    val rng = new java.util.Random(4242L)
+    val n = 400
+    val pairs = (0 until 600).map { _ =>
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+    }.filter(p => p._1 != p._2)
+    // local union-find reference
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a.toInt); val rb = find(b.toInt)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical rep = min id in component
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val minOf = nodes.groupBy(id => find(id.toInt)).map { case (_, ids) => ids.min }
+    val expected = nodes.map { id =>
+      val root = find(id.toInt)
+      id -> nodes.filter(j => find(j.toInt) == root).min
+    }.toMap
+    val out = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == nodes.toSet)
+    assert(out == expected)
+    assert(minOf.forall(m => out(m) == m)) // reps label themselves
+    // determinism across partitionings
+    val out7 = Dedup.connectedComponents(pairs.toDF("id_a", "id_b").repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out7 == out)
+  }
+
+  test("connectedComponents refuses to return a partially-merged clustering") {
+    import spark.implicits._
+    // a 30-edge chain has diameter 30: maxIters=3 cannot reach fixpoint and
+    // must THROW (accounting guard), never silently return partial clusters
+    val chain = (1L to 30L).map(i => (i - 1, i))
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF("id_a", "id_b"), maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain folds to a single component
+    val ok = Dedup.connectedComponents(chain.toDF("id_a", "id_b"), maxIters = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(0L) && ok.size == 31)
+  }
+
   test("ANN candidate set entering the rank window is bounded (map-side top-k)") {
     import spark.implicits._
     def vec(seed: Int): Array[Float] =
