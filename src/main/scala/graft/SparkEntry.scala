@@ -608,6 +608,24 @@ object SparkEntry {
       Dedup.nearDupClusters(stars.unionAll(chains))
     }),
 
+    // ---- C4-style line-level dedup: documents are given a deterministic
+    // multi-line shape (shared header + original text + one of 5 rotating
+    // footers); lines repeating in >= 50 distinct docs are boilerplate.
+    // The oracle recomputes BOTH operators from the same definition.
+    "q_line_dedup" -> ((s, dir) => {
+      val d2 = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n", lit("shared header"), col("text"),
+          concat(lit("footer "), (col("doc_id") % 5).cast("string"))).as("text"))
+      Dedup.boilerplateLines(d2, minDocs = 50L)
+    }),
+
+    "q_line_clean" -> ((s, dir) => {
+      val d2 = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n", lit("shared header"), col("text"),
+          concat(lit("footer "), (col("doc_id") % 5).cast("string"))).as("text"))
+      Dedup.removeBoilerplateLines(d2, minDocs = 50L)
+    }),
+
     "q_simhash" -> ((s, dir) => Dedup.simhashes(docs(s, dir)).toDF()),
 
     "q_embed_near_dup" -> ((s, dir) => {
@@ -1130,6 +1148,34 @@ object SparkEntry {
 
     "q_near_dup_pairs" ->
       "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents WHERE doc_id < 50",
+
+    // line-level dedup replay: same multi-line shape, same threshold
+    "q_line_dedup" ->
+      ("WITH d2 AS (SELECT doc_id, 'shared header' || chr(10) || text || chr(10) || " +
+        "'footer ' || CAST(doc_id % 5 AS VARCHAR) AS t FROM documents), " +
+        "ln AS (SELECT DISTINCT doc_id, trim(raw) AS line FROM " +
+        "(SELECT doc_id, unnest(string_split(t, chr(10))) AS raw FROM d2) " +
+        "WHERE trim(raw) <> '') " +
+        "SELECT line, count(DISTINCT doc_id) AS n_docs FROM ln " +
+        "GROUP BY line HAVING count(DISTINCT doc_id) >= 50"),
+
+    "q_line_clean" ->
+      ("WITH d2 AS (SELECT doc_id, 'shared header' || chr(10) || text || chr(10) || " +
+        "'footer ' || CAST(doc_id % 5 AS VARCHAR) AS t FROM documents), " +
+        "p AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS raw " +
+        "FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d2)), " +
+        "pl AS (SELECT doc_id, pos, raw, trim(raw) AS line FROM p), " +
+        "ln AS (SELECT DISTINCT doc_id, trim(raw) AS line FROM " +
+        "(SELECT doc_id, unnest(string_split(t, chr(10))) AS raw FROM d2) " +
+        "WHERE trim(raw) <> ''), " +
+        "boiler AS (SELECT line FROM ln GROUP BY line HAVING count(DISTINCT doc_id) >= 50) " +
+        "SELECT pl.doc_id, " +
+        "coalesce(string_agg(pl.raw, chr(10) ORDER BY pl.pos) " +
+        "FILTER (WHERE b.line IS NULL OR pl.line = ''), '') AS clean_text, " +
+        "count(*) FILTER (WHERE b.line IS NULL OR pl.line = '') AS n_lines_kept, " +
+        "count(*) FILTER (WHERE b.line IS NOT NULL AND pl.line <> '') AS n_lines_dropped " +
+        "FROM pl LEFT JOIN boiler b ON pl.line = b.line " +
+        "GROUP BY pl.doc_id"),
 
     // fixpoint of min-label propagation over the closed-form pair graph:
     // components are the 12-id blocks; a block-aligned root at the corpus

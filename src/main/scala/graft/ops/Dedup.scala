@@ -256,6 +256,58 @@ object Dedup {
       .select(col("id"), col("comp").as("rep_id"))
 
   // -------------------------------------------------------------------
+  // Line-level dedup (C4/RefinedWeb-style boilerplate line removal)
+
+  /** Lines occurring in at least `minDocs` DISTINCT documents: the classic
+    * cross-document boilerplate signal (nav bars, cookie banners, footers
+    * repeat verbatim across a site's pages). Lines are compared after
+    * trimming; blank lines are ignored. Returns (line, n_docs).
+    *
+    * Scale shape: explode → distinct per doc (map-side) → one
+    * partial-aggregated groupBy on the line key. At 100 TB the hot keys
+    * ARE the output (the most-repeated lines), and count aggregation is
+    * associative, so map-side combine absorbs the skew — no cap needed.
+    */
+  def boilerplateLines(docs: DataFrame, minDocs: Long = 2L,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), "\n")).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("line"))
+      .filter(col("line") =!= "")
+      .distinct() // per-doc repeats count once toward n_docs
+      .groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Remove cross-document boilerplate lines from every document: each
+    * line whose trimmed form occurs in >= `minDocs` distinct documents is
+    * dropped; surviving lines keep their original (untrimmed) text and
+    * order. Returns (doc_id, clean_text, n_lines_kept, n_lines_dropped).
+    *
+    * Scale shape: one aggregation to build the boilerplate set (bounded by
+    * distinct repeated lines, not corpus size) + one hash join from
+    * exploded lines back to it + one groupBy(doc_id) reassembly — three
+    * shuffles total, no driver materialization, no broadcast assumption
+    * (Catalyst/AQE may still choose one when the boilerplate set is small).
+    */
+  def removeBoilerplateLines(docs: DataFrame, minDocs: Long = 2L,
+                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val boiler = boilerplateLines(docs, minDocs, idCol, textCol)
+      .select(col("line"), lit(true).as("is_boiler"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
+      .withColumn("line", trim(col("raw")))
+      .join(boiler, Seq("line"), "left")
+      .withColumn("drop", coalesce(col("is_boiler"), lit(false)) && col("line") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n", sort_array(collect_list(
+          when(!col("drop"), struct(col("pos"), col("raw"))))).getField("raw")).as("clean_text"),
+        count(when(!col("drop"), 1)).as("n_lines_kept"),
+        count(when(col("drop"), 1)).as("n_lines_dropped"))
+  }
+
+  // -------------------------------------------------------------------
   // SimHash
 
   /** 64-bit SimHash over word hashes (bit-vote aggregation). */

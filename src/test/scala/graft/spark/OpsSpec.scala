@@ -502,6 +502,28 @@ class OpsSpec extends AnyFunSuite {
     assert(d2.sample_sum == ref2.sample_sum)
   }
 
+  test("boilerplate line removal: cross-doc repeated lines drop, order and uniques survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "HEADER\nunique one\n  HEADER  \nfooter"),  // trimmed match + per-doc repeat
+      (2L, "HEADER\nunique two\nfooter"),
+      (3L, "HEADER\nunique three\n\nfooter"),
+      (4L, "nothing shared here\n\n")
+    ).toDF("doc_id", "text")
+    val boiler = Dedup.boilerplateLines(corpus, minDocs = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-doc repeats count once: HEADER appears twice in doc 1 but n_docs=3
+    assert(boiler == Map("HEADER" -> 3L, "footer" -> 3L), boiler)
+    val out = Dedup.removeBoilerplateLines(corpus, minDocs = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, "unique one", 1L, 3L)))
+    assert(out(1) == ((2L, "unique two", 1L, 2L)))
+    // blank lines are structure, not boilerplate: they survive
+    assert(out(2) == ((3L, "unique three\n", 2L, 2L)))
+    assert(out(3) == ((4L, "nothing shared here\n\n", 3L, 0L)))
+  }
+
   test("connectedComponents matches a local union-find on a random graph") {
     import spark.implicits._
     val rng = new java.util.Random(4242L)
