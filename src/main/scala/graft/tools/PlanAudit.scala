@@ -138,6 +138,21 @@ object PlanAudit {
     check("q_main_transcript has exactly 1 shuffle (window)")(
       "Exchange".r.findAllIn(mtPlan).length == 1, mtPlan)
 
+    // 16. line-level dedup: the boilerplate count must partial-aggregate
+    //     map-side before its exchange (hot line keys combine locally)
+    val ldPlan = graft.SparkEntry.queries("q_line_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    check("q_line_dedup partial-aggregates before its exchange")(
+      ldPlan.contains("Aggregate") &&
+        ldPlan.indexOf("Aggregate") < ldPlan.indexOf("Exchange"), ldPlan)
+
+    // 17. connected components: label propagation is hash joins only —
+    //     a cartesian would mean the edge/label join lost its key
+    val ccPlan = graft.SparkEntry.queries("q_dedup_clusters")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    check("q_dedup_clusters has no cartesian product")(
+      !ccPlan.contains("CartesianProduct"), ccPlan)
+
     println(if (failures == 0) "ALL PLAN CHECKS PASSED" else s"$failures CHECKS FAILED")
     spark.stop()
     if (failures > 0) sys.exit(1)
