@@ -79,14 +79,21 @@ object Audio {
       val sz = u32(bytes, iOff + 4)
       val body = off + 8
       if (ck == "fmt " && sz >= 16 && body + 16 <= bytes.length) {
-        val audioFormat = u16(bytes, iOff + 8)
+        val declaredFormat = u16(bytes, iOff + 8)
         val channels = u16(bytes, iOff + 10)
         val rate = u32(bytes, iOff + 12)
         val bits = u16(bytes, iOff + 22)
+        // 0xFFFE = WAVE_FORMAT_EXTENSIBLE: the REAL format tag is the
+        // first u16 of the SubFormat GUID at fmt offset 24 (after
+        // cbSize=22, validBits, channelMask) — ubiquitous for >2-channel
+        // and studio float WAVs in crawled corpora
+        val audioFormat =
+          if (declaredFormat == 0xFFFE && sz >= 40 && body + 26 <= bytes.length)
+            u16(bytes, iOff + 32)
+          else declaredFormat
         // tag 1 = integer PCM (8/16-bit), tag 3 = IEEE float (32-bit) —
-        // the two layouts crawled WAVs actually carry. 0xFFFE
-        // (WAVE_FORMAT_EXTENSIBLE) and everything else degrades to the
-        // stub rather than guessing a sample layout.
+        // the layouts crawled WAVs actually carry; anything else degrades
+        // to the stub rather than guessing a sample layout.
         val okPcm = audioFormat == 1 && (bits == 8 || bits == 16)
         val okFloat = audioFormat == 3 && bits == 32
         if ((!okPcm && !okFloat) ||
