@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
   *  - a declared-size bomb (tiny header, huge `data` chunk) is caught
   *    before sample iteration: frames beyond [[MaxFrames]] report
   *    metadata only (sample_sum = MinValue sentinel -> -1 on the row);
-  *  - only sane fmt values are decoded (PCM tag 1, 8/16-bit, 1-8
-  *    channels) — anything else degrades to the stub rather than
-  *    guessing.
+  *  - only sane fmt values are decoded (integer PCM 8/16/24-bit, IEEE
+  *    float 32-bit, plain or WAVE_FORMAT_EXTENSIBLE, 1-8 channels) —
+  *    anything else degrades to the stub rather than guessing.
   */
 object Audio {
 
@@ -91,10 +91,10 @@ object Audio {
           if (declaredFormat == 0xFFFE && sz >= 40 && body + 26 <= bytes.length)
             u16(bytes, iOff + 32)
           else declaredFormat
-        // tag 1 = integer PCM (8/16-bit), tag 3 = IEEE float (32-bit) —
+        // tag 1 = integer PCM (8/16/24-bit), tag 3 = IEEE float (32-bit) —
         // the layouts crawled WAVs actually carry; anything else degrades
         // to the stub rather than guessing a sample layout.
-        val okPcm = audioFormat == 1 && (bits == 8 || bits == 16)
+        val okPcm = audioFormat == 1 && (bits == 8 || bits == 16 || bits == 24)
         val okFloat = audioFormat == 3 && bits == 32
         if ((!okPcm && !okFloat) ||
           channels < 1 || channels > 8 || rate < 1 || rate > 1000000) return None
@@ -121,7 +121,7 @@ object Audio {
         ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24))
 
   /** Exact sum of every sample across all channels: 8-bit WAV samples are
-    * unsigned (0..255), 16-bit are signed little-endian, and 32-bit IEEE
+    * unsigned (0..255), 16/24-bit are signed little-endian, and 32-bit IEEE
     * float samples (format tag 3) contribute `round(sample * 256)` — a
     * fixed-point scaling that is EXACT whenever the samples are dyadic
     * multiples of 1/256, which the synthetic generator guarantees. The
@@ -139,6 +139,15 @@ object Audio {
       while (i < n) {
         val off = dataOff + (i * 2).toInt
         sum += (((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort).toLong
+        i += 1
+      }
+    } else if (meta.bits == 24) {
+      // signed 3-byte little-endian: sign-extend via a <<8 then >>8
+      while (i < n) {
+        val off = dataOff + (i * 3).toInt
+        val v = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+          (bytes(off + 2) << 16)
+        sum += ((v << 8) >> 8).toLong
         i += 1
       }
     } else {
@@ -164,6 +173,7 @@ object Audio {
     val full = meta.bits match {
       case 8 => 128.0
       case 16 => 32768.0
+      case 24 => 8388608.0
       case _ => 1.0 // float samples are already in [-1, 1]
     }
     var i = 0L
@@ -177,6 +187,11 @@ object Audio {
           case 16 =>
             val off = dataOff + ((i * meta.channels + ch) * 2).toInt
             ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toDouble
+          case 24 =>
+            val off = dataOff + ((i * meta.channels + ch) * 3).toInt
+            val v = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+              (bytes(off + 2) << 16)
+            ((v << 8) >> 8).toDouble
           case _ =>
             f32(bytes, dataOff + ((i * meta.channels + ch) * 4).toInt).toDouble
         }

@@ -470,6 +470,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio 24-bit PCM: signed 3-byte samples sum exactly") {
+    // hand-built mono 24-bit WAV: frames [-1, 1, -8388608, 8388607, 0, 300000]
+    val samples = Seq(-1, 1, -8388608, 8388607, 0, 300000)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def t4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val dataLen = samples.length * 3
+    t4("RIFF"); w32(4 + 24 + 8 + dataLen); t4("WAVE")
+    t4("fmt "); w32(16); w16(1); w16(1); w32(8000); w32(8000 * 3); w16(3); w16(24)
+    t4("data"); w32(dataLen)
+    samples.foreach { s =>
+      bos.write(s & 0xff); bos.write((s >> 8) & 0xff); bos.write((s >> 16) & 0xff)
+    }
+    val d = Audio.decodeOne(11L, bos.toByteArray)
+    assert(d.meta.format == "wav" && d.meta.bits == 24 && d.meta.nFrames == 6L)
+    assert(d.sample_sum == samples.map(_.toLong).sum, d.sample_sum)
+    assert(d.feature.length == 8 && d.feature.forall(f => f >= 0f && f <= 1f))
+  }
+
   test("audio WAVE_FORMAT_EXTENSIBLE: real tag read from the SubFormat GUID") {
     // rebuild a synthetic WAV's 16-byte fmt chunk as a 40-byte extensible
     // one (tag 0xFFFE, cbSize 22, SubFormat GUID leading with the real tag)
