@@ -461,7 +461,10 @@ object Bench {
     val ts = new java.text.SimpleDateFormat("yyyyMMdd-HHmmss")
       .format(new java.util.Date())
     writeFile(s"BENCH_LOCAL_$ts.json")
-    val newRep = scalingOpt.forall(_.representative)
+    // pointer updates require a MEASURED representative scaling section — a
+    // queries-only draw (scaling skipped) must never replace a record that
+    // carries real scaling evidence
+    val newRep = scalingOpt.exists(_.representative)
     if (newRep || !java.nio.file.Files.exists(java.nio.file.Paths.get("BENCH_LOCAL.json")))
       writeFile("BENCH_LOCAL.json")
 
