@@ -43,8 +43,11 @@ for seed in $SEEDS; do
   run "tree-quirks-$seed"  env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=quirks python3 scripts/conformance/tree_diff.py
   run "frag-select-$seed"  env FRAG_DIFF_SEED=$seed FRAG_DIFF_PROFILE=select python3 scripts/conformance/fragment_diff.py
 done
-# standing shape battery on one fresh seed (r3 lesson: vary the SHAPE)
-for seed in 0x5CA1AB1E; do
+# standing shape battery on one seed (r3 lesson: vary the SHAPE).
+# SWEEP_BATTERY_SEED overrides; defaults to the FIRST sweep seed so a
+# fresh SWEEP_SEEDS list freshens the battery too (a pinned seed here
+# made sweeps B-D replay these 15 configs verbatim)
+for seed in ${SWEEP_BATTERY_SEED:-${SEEDS%% *}}; do
   run "tree-foreign-$seed" env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=foreign python3 scripts/conformance/tree_diff.py
   run "tree-decl-$seed"    env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=decl python3 scripts/conformance/tree_diff.py
   run "tree-tables-$seed"  env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=tables python3 scripts/conformance/tree_diff.py
@@ -57,9 +60,7 @@ for seed in 0x5CA1AB1E; do
   run "extract-hidden-$seed"  env EXTRACT_DIFF_SEED=$seed EXTRACT_DIFF_PROFILE=hidden python3 scripts/conformance/extract_diff.py
   run "extract-controls-$seed" env EXTRACT_DIFF_SEED=$seed EXTRACT_DIFF_PROFILE=controls python3 scripts/conformance/extract_diff.py
   run "extract-prewrap-$seed" env EXTRACT_DIFF_SEED=$seed EXTRACT_DIFF_PROFILE=prewrap python3 scripts/conformance/extract_diff.py
-  run "tree-select-$seed"  env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=select python3 scripts/conformance/tree_diff.py
-  run "tree-entattr-$seed" env TREE_DIFF_SEED=$seed TREE_DIFF_PROFILE=entattr python3 scripts/conformance/tree_diff.py
-  run "frag-select-$seed"  env FRAG_DIFF_SEED=$seed FRAG_DIFF_PROFILE=select python3 scripts/conformance/fragment_diff.py
+  # (select/entattr/quirks arms already run per-seed above — not repeated)
 done
 
 echo "sweep complete: $fails failing runs"
